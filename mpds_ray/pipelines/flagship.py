@@ -1,0 +1,205 @@
+"""Flagship pipeline (BASELINE.md workload):
+
+    read tokens parquet
+      -> map_batches(TokenWindowStats, pyarrow, zero-copy)   [stateless]
+      -> narrow projection (doc_id, ts, source, stats)       [tokens stay Arrow]
+      -> ONE co-partitioning shuffle with the scores table
+         groupby(stable_bucket(doc_id) % B).map_groups:
+            per-partition (entity, ts) sort                  [establish invariant]
+            sessionize (gap threshold, per-entity ordinals)
+            per-entity lag/lead + prefix features
+            galloping as-of merge of scores (backward, tolerance)
+            LOCF-with-expiration backfill of the joined score
+      -> resumable partitioned sink + lineage manifest
+
+Design notes for 10^12-row scale:
+- The wide ``tokens`` column never enters the shuffle: stats are computed
+  map-side over zero-copy Arrow and only the narrow feature row moves
+  (SURVEY §7.5.7). The enriched wide table is written map-side, partitioned
+  by input fragment, preserving the token arrays byte-identical.
+- Exactly ONE all-to-all exchange: tagged union of (narrow features, scores)
+  hash-bucketed by entity. B = ``num_buckets`` bounds per-task memory.
+- Scans are entity-complete by construction -> no cross-batch carry state,
+  retries are pure re-executions of a bucket (idempotent, manifest-gated).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.asof import asof_join_arrays
+from ..stages.partition import stable_bucket
+from ..stages.scans import locf_with_expiration, prefix_features, time_since_to_event
+from ..stages.sessionize import sessionize_gap
+from ..stages.window_stats import CHEAP_STATS, TokenWindowStats
+from ..state.manifest import Manifest, frame_checksum, write_partition_atomic
+
+_BUCKET = "_bucket"
+_SIDE = "_side"
+
+NARROW_STATS = ("mean", "std", "En", "zcr", "ar1", "meanTKEO", "n")
+
+
+def _fused_bucket_fn(
+    entity: str,
+    ts: str,
+    session_gap: float,
+    tolerance: float | None,
+    stat_cols: list[str],
+    sink=None,
+):
+    """Per-bucket: sort -> sessionize -> lag/prefix -> as-of merge -> backfill."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g[_SIDE] == 0].sort_values([entity, ts], kind="mergesort")
+        right = g[g[_SIDE] == 1].sort_values([entity, ts], kind="mergesort")
+        out = left.drop(columns=[_SIDE, _BUCKET, "score"], errors="ignore").reset_index(
+            drop=True
+        )
+        ids = out[entity].to_numpy()
+        t = out[ts].to_numpy().astype(np.float64)
+
+        # sessionize: per-entity session ordinal (batch-size invariant)
+        sid = sessionize_gap(ids, t, gap=session_gap)
+        ent_first_sid = pd.Series(sid).groupby(pd.Series(ids), sort=False).transform("min")
+        out["session_seq"] = sid - ent_first_sid.to_numpy()
+
+        # lag/lead over rows (every row is an "event" -> inter-arrival features)
+        lags = time_since_to_event(ids, t, np.ones(len(out), dtype=np.int64))
+        out["secs_since_prev"] = lags["time_since_last_event"]
+        out["secs_to_next"] = lags["time_to_next_event"]
+
+        # per-entity prefix features over the first stat column
+        if stat_cols:
+            pf = prefix_features(ids, t, out[stat_cols[0]].to_numpy())
+            out["run_cummax"] = pf["cummax"]
+            out["run_twmean"] = pf["twmean"]
+
+        # as-of merge of scores (backward + tolerance) — zero temporal leakage
+        if len(right):
+            joined = asof_join_arrays(
+                ids,
+                t,
+                right[entity].to_numpy(),
+                right[ts].to_numpy().astype(np.float64),
+                {"score": right["score"].to_numpy()},
+                tolerance=tolerance,
+                direction="backward",
+            )
+            out["score_asof"] = joined["score"]
+            out["score_asof_ts"] = joined["_matched_ts"]
+        else:
+            out["score_asof"] = np.nan
+            out["score_asof_ts"] = np.nan
+
+        # backfill: LOCF-with-expiration of the aligned score along the row grid
+        lf = locf_with_expiration(
+            ids, t, out["score_asof"].to_numpy(), valid_time=np.inf if tolerance is None else tolerance
+        )
+        out["score_locf"] = lf["locf"]
+        out["secs_since_score"] = lf["time_since_last_sample"]
+        out[_BUCKET] = g[_BUCKET].iloc[0]
+        if sink is not None:
+            return sink(out, int(g[_BUCKET].iloc[0]))
+        return out
+
+    return fn
+
+
+def flagship_features(
+    tokens_ds,
+    scores_ds,
+    entity: str = "doc_id",
+    ts: str = "ts",
+    session_gap: float = 300.0,
+    tolerance: float | None = 86_400.0,
+    num_buckets: int = 64,
+    stats: tuple[str, ...] = NARROW_STATS,
+    heavy: bool = False,
+    sink=None,
+):
+    """The aligned-features Dataset (narrow). See module docstring.
+
+    ``sink(df, partition_id) -> df`` (optional) runs INSIDE the per-bucket
+    task — the resumable writer uses this so the sink adds no extra shuffle.
+    """
+    enriched = tokens_ds.map_batches(
+        TokenWindowStats(stats=tuple(s for s in stats if s not in ("dfa", "dfc", "dfc_amp")),
+                         heavy=heavy),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    stat_cols = [f"tok_{s}" for s in stats] + (["tok_dfa", "tok_dfc", "tok_dfc_amp"] if heavy else [])
+    narrow_cols = [entity, ts, "source", "n_tok"] + stat_cols
+    narrow = enriched.select_columns(narrow_cols)
+
+    def _tag(side: int, cols: list[str]):
+        def tag_fn(t: pa.Table) -> pa.Table:
+            b = stable_bucket(t[entity].to_numpy(zero_copy_only=False), num_buckets)
+            out = {}
+            for c in cols:
+                if c in t.column_names:
+                    out[c] = t[c]
+                elif c == "score":
+                    out[c] = pa.nulls(t.num_rows, type=pa.float64())
+                elif c == "source":
+                    out[c] = pa.nulls(t.num_rows, type=pa.string())
+                elif c == "n_tok":
+                    out[c] = pa.nulls(t.num_rows, type=pa.int32())
+                else:
+                    out[c] = pa.nulls(t.num_rows, type=pa.float64())
+            out[_BUCKET] = pa.array(b, type=pa.int32())
+            out[_SIDE] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            return pa.table(out)
+
+        return tag_fn
+
+    union_cols = narrow_cols + ["score"]
+    tagged = narrow.map_batches(_tag(0, union_cols), batch_format="pyarrow").union(
+        scores_ds.map_batches(_tag(1, union_cols), batch_format="pyarrow")
+    )
+    return tagged.groupby(_BUCKET).map_groups(
+        _fused_bucket_fn(entity, ts, session_gap, tolerance, stat_cols, sink=sink),
+        batch_format="pandas",
+    )
+
+
+def run_flagship(
+    tokens_path: str,
+    scores_path: str,
+    out_dir: str | None = None,
+    manifest_path: str | None = None,
+    num_buckets: int = 64,
+    heavy: bool = False,
+    **kw,
+):
+    """End-to-end flagship incl. resumable sink. Returns the features Dataset
+    (consumed if out_dir given)."""
+    import ray.data as rd
+
+    tokens = rd.read_parquet(tokens_path)
+    scores = rd.read_parquet(scores_path)
+    if out_dir is None:
+        return flagship_features(tokens, scores, num_buckets=num_buckets, heavy=heavy, **kw)
+
+    manifest_path = manifest_path or f"{out_dir}/manifest.jsonl"
+    done = Manifest(manifest_path).completed("flagship")
+
+    def _sink(body: pd.DataFrame, pid: int) -> pd.DataFrame:
+        import time as _time
+
+        if pid in done:
+            return pd.DataFrame({"partition_id": [pid], "rows": [0], "skipped": [True]})
+        t0 = _time.perf_counter()
+        body = body.drop(columns=[_BUCKET])
+        write_partition_atomic(body, out_dir, pid)
+        Manifest(manifest_path).append(
+            "flagship", pid, len(body), frame_checksum(body), _time.perf_counter() - t0
+        )
+        return pd.DataFrame({"partition_id": [pid], "rows": [len(body)], "skipped": [False]})
+
+    return flagship_features(
+        tokens, scores, num_buckets=num_buckets, heavy=heavy, sink=_sink, **kw
+    )
