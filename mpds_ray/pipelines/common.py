@@ -1,0 +1,85 @@
+"""Shared helpers for the query library (SURVEY §2 operator surface).
+
+Conventions that make the DuckDB oracle comparison exact:
+- every float output column is rounded to a fixed number of decimals in BOTH
+  the Ray pipeline and the oracle SQL (fp summation order differs);
+- timestamps are converted to epoch seconds (float64) before leaving a
+  pipeline — hashing datetimes across engines is not portable;
+- aggregate columns carry explicit names matching the SQL aliases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def tpath(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def read(sf_dir: str, name: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(tpath(sf_dir, name), columns=columns)
+
+
+def read_small(sf_dir: str, name: str, columns: list[str] | None = None) -> pd.DataFrame:
+    """Driver-side read of a SMALL table for broadcast (dimension tables)."""
+    return pq.read_table(tpath(sf_dir, name), columns=columns).to_pandas()
+
+
+def epoch_seconds(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """timestamp[us] -> float64 epoch seconds (matches DuckDB ``epoch(ts)``)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pa.array(arr.cast(pa.int64()).to_numpy(zero_copy_only=False) / 1e6)
+
+
+def partial_groupby_sum(
+    ds,
+    keys: list[str],
+    sums: dict[str, str],
+    count_as: str | None = None,
+):
+    """Map-side partial aggregation (SURVEY A2/A4 scale shape): each batch is
+    pre-reduced to one row per key with pandas, then a small global
+    ``groupby().aggregate(Sum)`` combines partials. Returns a Dataset with
+    ``keys + list(sums.values()) (+ count_as)``.
+
+    At 10^12-row scale this is the difference between shuffling every row and
+    shuffling ~(keys x batches) partial rows.
+    """
+    from ray.data.aggregate import Sum
+
+    sum_cols = list(sums)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False, sort=False)[sum_cols].sum()
+        if count_as:
+            cnt = batch.groupby(keys, as_index=False, sort=False).size()
+            g = g.merge(cnt, on=keys)
+            g = g.rename(columns={"size": count_as})
+        return g
+
+    partial = ds.map_batches(_partial, batch_format="pandas", batch_size=65536)
+    aggs = [Sum(c, alias_name=out) for c, out in sums.items()]
+    if count_as:
+        aggs.append(Sum(count_as, alias_name=count_as))
+    return partial.groupby(keys).aggregate(*aggs)
+
+
+def round_columns(ds, decimals: dict[str, int]):
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        for c, d in decimals.items():
+            if c in batch.columns:
+                batch[c] = batch[c].astype(np.float64).round(d)
+        return batch
+
+    return ds.map_batches(_round, batch_format="pandas")

@@ -1,0 +1,335 @@
+"""Longitudinal operators over the events stream (the flagship semantics on
+driver testdata): sessionize, lag/lead, LOCF, as-of with tolerance, debounce,
+tumbling windows, prefix scans — each with a DuckDB window-function oracle.
+
+All pipelines establish the (user_id, ts)-sorted entity-complete invariant
+via ONE hash-bucket shuffle (stages.partition.partition_sort), then run the
+vectorized scans of mpds_ray.stages per bucket. Ties in ts are broken by
+event_id (both sides), making every output deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages.asof import asof_join_arrays
+from ..stages.scans import (
+    locf_with_expiration,
+    prefix_features,
+    remove_short_on_intervals,
+    time_since_to_event,
+)
+from ..stages.sessionize import sessionize_gap
+from .common import partial_groupby_sum, read, round_columns
+
+SESSION_GAP = 1800.0  # 30 min
+NUM_BUCKETS = 32
+
+
+def _events_sorted(sf_dir: str, columns: list[str]):
+    """events with ts as epoch seconds, bucketed by user and sorted by
+    (user_id, ts, event_id) inside each entity-complete group."""
+    ds = read(sf_dir, "events", columns=list(dict.fromkeys(columns + ["user_id", "ts", "event_id"])))
+
+    def to_epoch(b: pd.DataFrame) -> pd.DataFrame:
+        b["ts"] = b["ts"].astype("int64") / 1e6
+        return b
+
+    return ds.map_batches(to_epoch, batch_format="pandas")
+
+
+def _per_bucket(ds, fn, num_buckets: int = NUM_BUCKETS):
+    from ..stages.partition import partition_sort
+
+    def sorted_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        return fn(g)
+
+    # partition_sort's (entity, ts) mergesort is refined to include event_id
+    # by pre-sorting here; the outer sort is stable so the refinement holds.
+    from ..stages.partition import add_bucket_column
+
+    bucketed = ds.map_batches(
+        lambda t: add_bucket_column(t, "user_id", num_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby("_bucket").map_groups(
+        lambda g: sorted_fn(g.drop(columns=["_bucket"])), batch_format="pandas"
+    )
+
+
+# --- T2/T9: gap sessionize + per-session aggregate (A2) ---
+
+
+def sessionize_user_events(sf_dir: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        sid = sessionize_gap(g["user_id"].to_numpy(), g["ts"].to_numpy(), SESSION_GAP)
+        g["_sid"] = sid
+        out = (
+            g.groupby(["user_id", "_sid"], sort=True)
+            .agg(n_events=("event_id", "size"), t_start=("ts", "min"), t_end=("ts", "max"),
+                 sum_value=("value", "sum"))
+            .reset_index()
+        )
+        out["session_seq"] = out.groupby("user_id").cumcount()
+        out["duration"] = (out["t_end"] - out["t_start"]).round(6)
+        out["sum_value"] = out["sum_value"].round(2)
+        out["t_start"] = out["t_start"].round(6)
+        out["t_end"] = out["t_end"].round(6)
+        return out[["user_id", "session_seq", "n_events", "t_start", "t_end", "duration", "sum_value"]]
+
+    return _per_bucket(_events_sorted(sf_dir, ["value"]), fn)
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch(ts) AS ts FROM events
+), m AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {SESSION_GAP}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       round(min(ts), 6) AS t_start, round(max(ts), 6) AS t_end,
+       round(max(ts) - min(ts), 6) AS duration,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+# --- T4 forward: inter-arrival time ---
+
+
+def time_since_prev_event(sf_dir: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        r = time_since_to_event(
+            g["user_id"].to_numpy(), g["ts"].to_numpy(), np.ones(len(g), dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "secs_since_prev": np.round(r["time_since_last_event"], 6),
+            }
+        )
+
+    return _per_bucket(_events_sorted(sf_dir, []), fn)
+
+
+SINCE_PREV_SQL = """
+SELECT event_id,
+       round(epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+         AS secs_since_prev
+FROM events
+"""
+
+# --- T4 backward: time to next error event ---
+
+
+def time_to_next_error(sf_dir: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ev = (g["event_type"] == "error").to_numpy().astype(np.int64)
+        r = time_since_to_event(g["user_id"].to_numpy(), g["ts"].to_numpy(), ev)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "secs_to_next_error": np.round(r["time_to_next_event"], 6),
+            }
+        )
+
+    return _per_bucket(_events_sorted(sf_dir, ["event_type"]), fn)
+
+
+TO_NEXT_ERROR_SQL = """
+SELECT event_id,
+       round(min(CASE WHEN event_type = 'error' THEN epoch(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             - epoch(ts), 6) AS secs_to_next_error
+FROM events
+"""
+
+# --- T5: LOCF of the last purchase value (inclusive) ---
+
+
+def locf_last_purchase(sf_dir: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        vec = np.where(g["event_type"].to_numpy() == "purchase", g["value"].to_numpy(), np.nan)
+        r = locf_with_expiration(g["user_id"].to_numpy(), g["ts"].to_numpy(), vec, np.inf)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "last_purchase_value": np.round(r["locf"], 6),
+                "secs_since_purchase": np.round(r["time_since_last_sample"], 6),
+            }
+        )
+
+    return _per_bucket(_events_sorted(sf_dir, ["event_type", "value"]), fn)
+
+
+LOCF_SQL = """
+SELECT event_id,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER w, 6) AS last_purchase_value,
+       round(epoch(ts) - last_value(CASE WHEN event_type = 'purchase' THEN epoch(ts) END
+               IGNORE NULLS) OVER w, 6) AS secs_since_purchase
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+# --- J4/T5: as-of join with tolerance (views <- purchases) ---
+
+ASOF_TOL = 86_400.0
+
+
+def asof_purchase_for_views(sf_dir: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["event_type"] == "view"]
+        purch = g[g["event_type"] == "purchase"]
+        joined = asof_join_arrays(
+            views["user_id"].to_numpy(),
+            views["ts"].to_numpy(),
+            purch["user_id"].to_numpy(),
+            purch["ts"].to_numpy(),
+            {"value": purch["value"].to_numpy()},
+            tolerance=ASOF_TOL,
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": views["event_id"].to_numpy(),
+                "purchase_value": np.round(joined["value"], 6),
+                "secs_since": np.round(views["ts"].to_numpy() - joined["_matched_ts"], 6),
+            }
+        )
+
+    return _per_bucket(_events_sorted(sf_dir, ["event_type", "value"]), fn)
+
+
+ASOF_SQL = f"""
+SELECT v.event_id,
+       round(CASE WHEN p.ts IS NOT NULL AND epoch(v.ts) - epoch(p.ts) <= {ASOF_TOL}
+                  THEN p.value END, 6) AS purchase_value,
+       round(CASE WHEN p.ts IS NOT NULL AND epoch(v.ts) - epoch(p.ts) <= {ASOF_TOL}
+                  THEN epoch(v.ts) - epoch(p.ts) END, 6) AS secs_since
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+# --- T12: per-user cumulative value ---
+
+
+def cumulative_user_value(sf_dir: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        r = prefix_features(g["user_id"].to_numpy(), g["ts"].to_numpy(), g["value"].to_numpy())
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "cum_value": np.round(r["cumsum"], 6),
+                "cum_max": np.round(r["cummax"], 6),
+            }
+        )
+
+    return _per_bucket(_events_sorted(sf_dir, ["value"]), fn)
+
+
+CUMSUM_SQL = """
+SELECT event_id,
+       round(sum(value) OVER w, 6) AS cum_value,
+       round(max(value) OVER w, 6) AS cum_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+# --- windowed aggregate: tumbling hour x type (A2) ---
+
+
+def hourly_event_stats(sf_dir: str):
+    ev = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = b["ts"].astype("int64") // 1_000_000
+        b = b.assign(hour_epoch=(epoch // 3600 * 3600).astype(np.int64))
+        return b[["hour_epoch", "event_type", "value"]]
+
+    agg = partial_groupby_sum(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["hour_epoch", "event_type"],
+        {"value": "sum_value"},
+        count_as="n",
+    )
+    return round_columns(agg, {"sum_value": 2})
+
+
+HOURLY_SQL = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch, event_type,
+       round(sum(value), 2) AS sum_value, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+# --- T8 debounce: error bursts lasting >= 600 s ---
+
+DEBOUNCE_TH = 600.0
+
+
+def debounced_error_bursts(sf_dir: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        sig = (g["event_type"] == "error").to_numpy().astype(np.float64)
+        kept = remove_short_on_intervals(
+            g["user_id"].to_numpy(), g["ts"].to_numpy(), sig, DEBOUNCE_TH
+        )
+        return pd.DataFrame({"event_id": g["event_id"], "kept": kept})
+
+    return _per_bucket(_events_sorted(sf_dir, ["event_type"]), fn)
+
+
+DEBOUNCE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS ts, (event_type = 'error') AS err,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*)    OVER (PARTITION BY user_id) AS n_user
+  FROM events
+), l AS (
+  SELECT *, CASE WHEN err AND (lag(err) OVER w IS NULL OR NOT lag(err) OVER w)
+                 THEN 1 ELSE 0 END AS rise
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+), r AS (
+  SELECT *, sum(rise) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM l
+), d AS (
+  SELECT user_id, run_id, max(ts) - min(ts) AS dur, count(*) AS n_run, max(rn) AS last_rn
+  FROM r WHERE err GROUP BY user_id, run_id
+)
+SELECT r.event_id,
+       CAST(CASE WHEN r.err AND d.dur >= {DEBOUNCE_TH}
+                  AND NOT (d.n_run = 1 AND d.last_rn = r.n_user)
+                 THEN 1 ELSE 0 END AS DOUBLE) AS kept
+FROM r LEFT JOIN d ON r.user_id = d.user_id AND r.run_id = d.run_id
+"""
+
+
+QUERIES = {
+    "sessionize_user_events": sessionize_user_events,
+    "time_since_prev_event": time_since_prev_event,
+    "time_to_next_error": time_to_next_error,
+    "locf_last_purchase": locf_last_purchase,
+    "asof_purchase_for_views": asof_purchase_for_views,
+    "cumulative_user_value": cumulative_user_value,
+    "hourly_event_stats": hourly_event_stats,
+    "debounced_error_bursts": debounced_error_bursts,
+}
+
+ORACLE = {
+    "sessionize_user_events": SESSIONIZE_SQL,
+    "time_since_prev_event": SINCE_PREV_SQL,
+    "time_to_next_error": TO_NEXT_ERROR_SQL,
+    "locf_last_purchase": LOCF_SQL,
+    "asof_purchase_for_views": ASOF_SQL,
+    "cumulative_user_value": CUMSUM_SQL,
+    "hourly_event_stats": HOURLY_SQL,
+    "debounced_error_bursts": DEBOUNCE_SQL,
+}

@@ -132,7 +132,7 @@ def flagship_features(
         zero_copy_batch=True,
     )
     stat_cols = [f"tok_{s}" for s in stats] + (["tok_dfa", "tok_dfc", "tok_dfc_amp"] if heavy else [])
-    narrow_cols = [entity, ts, "source", "n_tok"] + stat_cols
+    narrow_cols = list(dict.fromkeys([entity, ts, "source", "n_tok"])) + stat_cols
     narrow = enriched.select_columns(narrow_cols)
 
     def _tag(side: int, cols: list[str]):

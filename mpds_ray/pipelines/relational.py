@@ -1,0 +1,354 @@
+"""Relational operator surface over the TPC-H-ish testdata (SURVEY §2.5-2.8).
+
+Each query has a Ray-Data-first implementation (map-side partial aggregation
+before any shuffle; broadcast semi/hash joins for small sides; sort+limit for
+top-k) and an ANSI-SQL oracle in ``ORACLE`` executed by the driver via DuckDB.
+Column names and float rounding match exactly on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .common import partial_groupby_sum, read, read_small, round_columns
+
+# --- Q1-style pricing summary (filter M10 + grouped agg A2, partial+final) ---
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        b = b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
+        return b.drop(columns=["l_shipdate"])
+
+    filtered = ds.map_batches(prep, batch_format="pandas")
+    agg = partial_groupby_sum(
+        filtered,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
+         "disc_price": "sum_disc_price", "l_discount": "sum_disc"},
+        count_as="count_order",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["avg_qty"] = b["sum_qty"] / b["count_order"]
+        b["avg_price"] = b["sum_base_price"] / b["count_order"]
+        b["avg_disc"] = b["sum_disc"] / b["count_order"]
+        return b.drop(columns=["sum_disc"])
+
+    return round_columns(
+        agg.map_batches(finish, batch_format="pandas"),
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+         "avg_qty": 6, "avg_price": 6, "avg_disc": 6},
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       count(*)                                           AS count_order,
+       round(avg(l_quantity), 6)                          AS avg_qty,
+       round(avg(l_extendedprice), 6)                     AS avg_price,
+       round(avg(l_discount), 6)                          AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --- Q3-style: broadcast semi-join + hash join + top-k (J2 + O3) ---
+
+
+def q3_top_orders(sf_dir: str):
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = read_small(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders[
+        orders["o_custkey"].isin(building) & (orders["o_orderdate"] < pd.Timestamp("1998-03-15"))
+    ]
+    okeys = dict(zip(orders["o_orderkey"], orders["o_orderdate"].astype("int64") // 86_400_000_000))
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] > pd.Timestamp("1996-03-15")) & b["l_orderkey"].isin(okeys)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+            }
+        )
+
+    rev = partial_groupby_sum(
+        li.map_batches(prep, batch_format="pandas"), ["o_orderkey"], {"revenue": "revenue"}
+    )
+
+    def attach_date(b: pd.DataFrame) -> pd.DataFrame:
+        b["o_orderdate_days"] = b["o_orderkey"].map(okeys).astype(np.int64)
+        b["revenue"] = b["revenue"].round(2)
+        return b
+
+    out = rev.map_batches(attach_date, batch_format="pandas")
+    return out.sort("revenue", descending=True).limit(10)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(epoch(o_orderdate) / 86400 AS BIGINT)        AS o_orderdate_days
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-03-15'
+  AND l_shipdate  > DATE '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC
+LIMIT 10
+"""
+
+# --- multi-way broadcast join: customers per region (J3) ---
+
+
+def customers_per_region(sf_dir: str):
+    nation = read_small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nk_to_region = dict(zip(nation["n_nationkey"], nation["r_name"]))
+
+    cust = read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"r_name": b["c_nationkey"].map(nk_to_region), "c_acctbal": b["c_acctbal"]}
+        )
+
+    agg = partial_groupby_sum(
+        cust.map_batches(attach, batch_format="pandas"),
+        ["r_name"],
+        {"c_acctbal": "sum_acctbal"},
+        count_as="n_customers",
+    )
+    return round_columns(agg, {"sum_acctbal": 2})
+
+
+REGION_SQL = """
+SELECT r_name,
+       round(sum(c_acctbal), 2) AS sum_acctbal,
+       count(*)                 AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# --- per-user max + top-k (A1 + O3) ---
+
+
+def top_customers_by_max_order(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Max("o_totalprice", alias_name="max_order_price")
+    )
+    names = read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+    nmap = dict(zip(names["c_custkey"], names["c_name"]))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        b["c_name"] = b["o_custkey"].map(nmap)
+        b["max_order_price"] = b["max_order_price"].round(2)
+        return b
+
+    return per_cust.map_batches(attach, batch_format="pandas").sort(
+        ["max_order_price", "o_custkey"], descending=[True, False]
+    ).limit(10)
+
+
+TOP_CUST_SQL = """
+SELECT o_custkey, round(max(o_totalprice), 2) AS max_order_price, any_value(c_name) AS c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY max_order_price DESC, o_custkey
+LIMIT 10
+"""
+
+# --- distinct (D2) ---
+
+
+def distinct_segments(sf_dir: str):
+    ds = read(sf_dir, "customer", columns=["c_mktsegment"])
+    return ds.groupby("c_mktsegment").count().drop_columns(["count()"]).sort("c_mktsegment")
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+# --- value counts (A11) ---
+
+
+def event_type_counts(sf_dir: str):
+    ev = read(sf_dir, "events", columns=["event_type", "value"])
+    agg = partial_groupby_sum(ev, ["event_type"], {"value": "sum_value"}, count_as="n")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["avg_value"] = (b["sum_value"] / b["n"]).round(6)
+        b["sum_value"] = b["sum_value"].round(2)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENT_COUNTS_SQL = """
+SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+# --- global quantiles (A5): exact at test scale, two-pass at cluster scale ---
+
+
+def value_quantiles(sf_dir: str):
+    ev = read(sf_dir, "events", columns=["value"])
+    # exact global quantiles on a single numeric column: collect the column
+    # (numpy), not the dataset. At 10^12 rows this becomes a t-digest merge;
+    # the operator contract (linear-interpolated quantile) stays identical.
+    vals = np.concatenate(
+        [b["value"].to_numpy() for b in ev.iter_batches(batch_size=1 << 20, batch_format="pandas")]
+    )
+    q = np.percentile(vals, [50.0, 90.0])  # linear interp == DuckDB quantile_cont
+    return pd.DataFrame({"median_value": [round(q[0], 6)], "p90_value": [round(q[1], 6)]})
+
+
+QUANTILES_SQL = """
+SELECT round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events
+"""
+
+# --- broadcast semi-join (J2) ---
+
+
+def building_order_stats(sf_dir: str):
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_custkey"].isin(keys)]
+        return pd.DataFrame({"one": np.ones(len(b)), "o_totalprice": b["o_totalprice"]})
+
+    agg = partial_groupby_sum(
+        orders.map_batches(prep, batch_format="pandas"),
+        ["one"],
+        {"o_totalprice": "sum_totalprice"},
+        count_as="n_orders",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_totalprice"] = b["sum_totalprice"].round(2)
+        return b.drop(columns=["one"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+BUILDING_SQL = """
+SELECT round(sum(o_totalprice), 2) AS sum_totalprice, count(*) AS n_orders
+FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+# --- robust scaling two-pass (M5/M6) + linear scoring (M11) + mPDS rescale ---
+
+
+def mpds_scaled_orders(sf_dir: str):
+    """RobustScaler(15,85) -> mPDS = clamp(50*z + 50, 0, 100) on o_totalprice
+    (notebook cell 28 semantics; sklearn/np linear-interp quantiles)."""
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    vals = np.concatenate(
+        [
+            b["o_totalprice"].to_numpy()
+            for b in orders.iter_batches(batch_size=1 << 20, batch_format="pandas")
+        ]
+    )
+    med = float(np.percentile(vals, 50.0))
+    q15, q85 = np.percentile(vals, [15.0, 85.0])
+    scale = float(q85 - q15)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        z = (b["o_totalprice"] - med) / scale
+        b["mpds"] = np.clip(50.0 * z + 50.0, 0.0, 100.0).round(6)
+        return b[["o_orderkey", "mpds"]]
+
+    return orders.map_batches(score, batch_format="pandas")
+
+
+MPDS_SQL = """
+WITH s AS (
+  SELECT quantile_cont(o_totalprice, 0.5)  AS med,
+         quantile_cont(o_totalprice, 0.85) - quantile_cont(o_totalprice, 0.15) AS scale
+  FROM orders
+)
+SELECT o_orderkey,
+       round(least(greatest(50 * (o_totalprice - med) / scale + 50, 0), 100), 6) AS mpds
+FROM orders, s
+"""
+
+# --- deterministic entity K-fold (O7) ---
+
+
+def kfold_counts(sf_dir: str, k: int = 10):
+    cust = read(sf_dir, "customer", columns=["c_custkey"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["c_custkey"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            1 << 32
+        )
+        return pd.DataFrame({"fold": (h % np.uint64(k)).astype(np.int64)})
+
+    return partial_groupby_sum(
+        cust.map_batches(fold, batch_format="pandas"), ["fold"], {}, count_as="n"
+    ).sort("fold")
+
+
+KFOLD_SQL = """
+SELECT CAST((c_custkey * 2654435761) % 4294967296 % 10 AS BIGINT) AS fold, count(*) AS n
+FROM customer GROUP BY 1 ORDER BY fold
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "customers_per_region": customers_per_region,
+    "top_customers_by_max_order": top_customers_by_max_order,
+    "distinct_segments": distinct_segments,
+    "event_type_counts": event_type_counts,
+    "value_quantiles": value_quantiles,
+    "building_order_stats": building_order_stats,
+    "mpds_scaled_orders": mpds_scaled_orders,
+    "kfold_counts": kfold_counts,
+}
+
+ORACLE = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "customers_per_region": REGION_SQL,
+    "top_customers_by_max_order": TOP_CUST_SQL,
+    "distinct_segments": DISTINCT_SQL,
+    "event_type_counts": EVENT_COUNTS_SQL,
+    "value_quantiles": QUANTILES_SQL,
+    "building_order_stats": BUILDING_SQL,
+    "mpds_scaled_orders": MPDS_SQL,
+    "kfold_counts": KFOLD_SQL,
+}

@@ -1,0 +1,136 @@
+"""Dedup / sketch / ANN / multimodal operator tests (beyond the DuckDB gate):
+MinHash-LSH recall on crafted near-duplicates, SimHash Hamming locality,
+IVF recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mpds_ray.pipelines.text import (
+    _shingles,
+    minhash_signature,
+    _splitmix64,
+    simhash_batch,
+    N_HASHES,
+)
+from mpds_ray.stages.multimodal import DecodeImage, FrameSampler, decode_pipeline, synth_media_table
+
+rng = np.random.default_rng(42)
+SEEDS = _splitmix64(np.arange(1, N_HASHES + 1, dtype=np.uint64) * np.uint64(0x9E3779B9))
+
+
+def jaccard(a, b):
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter)
+
+
+class TestMinHash:
+    def test_signature_similarity_estimates_jaccard(self):
+        base = rng.integers(0, 50257, 300)
+        near = base.copy()
+        near[::10] = rng.integers(0, 50257, near[::10].size)  # ~10% perturbed
+        sa, sb = _shingles(base), _shingles(near)
+        true_j = jaccard(sa, sb)
+        siga = minhash_signature(sa, SEEDS)
+        sigb = minhash_signature(sb, SEEDS)
+        est = (siga == sigb).mean()
+        assert est == pytest.approx(true_j, abs=0.15)
+
+    def test_lsh_finds_planted_dups(self, ray_session, tmp_path):
+        """Plant near-duplicate docs in a corpus; the LSH candidate pass must
+        surface the planted pair with high Jaccard."""
+        words = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"])
+        texts = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+        dup = texts[0].split(" ")
+        dup[3] = "changed"
+        texts.append(" ".join(dup))  # doc 40 ~ doc 0
+        df = pd.DataFrame(
+            {"doc_id": np.arange(41, dtype=np.int64), "text": texts, "source": "s",
+             "lang": "en", "n_chars": [len(t) for t in texts]}
+        )
+        d = tmp_path / "documents.parquet"
+        pq.write_table(pa.Table.from_pandas(df), d)
+        from mpds_ray.pipelines.text import minhash_dup_candidates
+
+        out = minhash_dup_candidates(str(tmp_path), threshold=0.5)
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (0, 40) in pairs
+        got = out.loc[(out["doc_a"] == 0) & (out["doc_b"] == 40), "jaccard"].iloc[0]
+        assert got > 0.7
+
+
+class TestSimHash:
+    def test_deterministic(self):
+        toks = [rng.integers(0, 50257, 50) for _ in range(5)]
+        a = simhash_batch(toks)
+        b = simhash_batch([t.copy() for t in toks])
+        np.testing.assert_array_equal(a, b)
+
+    def test_hamming_locality(self):
+        base = rng.integers(0, 50257, 400)
+        near = base.copy()
+        near[:8] = rng.integers(0, 50257, 8)
+        far = rng.integers(0, 50257, 400)
+        h = simhash_batch([base, near, far])
+        d_near = bin(int(h[0]) ^ int(h[1])).count("1")
+        d_far = bin(int(h[0]) ^ int(h[2])).count("1")
+        assert d_near < d_far
+
+
+class TestKnn:
+    def test_ivf_recall(self, ray_session, sf_dir):
+        from mpds_ray.pipelines.knn import knn_cosine_top10, knn_ivf_top10
+
+        brute = knn_cosine_top10(sf_dir).to_pandas()
+        ivf = knn_ivf_top10(sf_dir).to_pandas()
+        recall = len(set(brute["vec_id"]) & set(ivf["vec_id"])) / len(brute)
+        assert recall >= 0.5  # 2 of 8 cells probed; >=50% of true top-10
+
+    def test_brute_force_is_exact(self, ray_session, sf_dir):
+        from mpds_ray.pipelines.knn import knn_cosine_top10, _query_vector
+
+        got = knn_cosine_top10(sf_dir).to_pandas()
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+        q = _query_vector(sf_dir)
+        sims = (m @ (q / np.linalg.norm(q))) / np.linalg.norm(m, axis=1)
+        emb["cos_sim"] = np.round(sims, 6)
+        want = (
+            emb[emb["vec_id"] != 0]
+            .sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+            .head(10)
+        )
+        np.testing.assert_array_equal(got["vec_id"].to_numpy(), want["vec_id"].to_numpy())
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self):
+        dec = DecodeImage(fake=False)
+        with pytest.raises(NotImplementedError):
+            dec(synth_media_table(4).to_pandas())
+
+    def test_fake_decode_pipeline(self, ray_session):
+        import ray.data as rd
+
+        media = rd.from_arrow(synth_media_table(32))
+        out = decode_pipeline(media, fake=True, batch_size=8, concurrency=2).to_pandas()
+        assert len(out) == 32
+        assert {"media_id", "decoded_mean", "thumb_width"} <= set(out.columns)
+        # deterministic across runs
+        out2 = decode_pipeline(
+            rd.from_arrow(synth_media_table(32)), fake=True, batch_size=8, concurrency=2
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("media_id").reset_index(drop=True),
+            out2.sort_values("media_id").reset_index(drop=True),
+        )
+
+    def test_frame_sampler_fanout(self):
+        b = synth_media_table(6).to_pandas()
+        out = FrameSampler(n_frames=3)(b)
+        assert len(out) == 18
+        assert out.groupby("media_id")["frame_idx"].nunique().eq(3).all()
