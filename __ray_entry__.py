@@ -60,13 +60,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mpds_ray.pipelines import eventspipe, knn, relational, text
+    from mpds_ray.pipelines import dssl_pipe, eventspipe, knn, relational, text
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
     out.update(eventspipe.QUERIES)
     out.update(text.QUERIES)
     out.update(knn.QUERIES)
+    out.update(dssl_pipe.QUERIES)
     return out
 
 
