@@ -130,6 +130,7 @@ def flagship_features(
                          heavy=heavy),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=16_384,  # amortize segmented-kernel setup; ~10MB/batch
     )
     stat_cols = [f"tok_{s}" for s in stats] + (["tok_dfa", "tok_dfc", "tok_dfc_amp"] if heavy else [])
     narrow_cols = list(dict.fromkeys([entity, ts, "source", "n_tok"])) + stat_cols

@@ -104,9 +104,12 @@ def cached_fixture_dir(scale: str = "small", seed: int = 42) -> str:
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
+        # small row groups so ray.data.read_parquet can split the read into
+        # parallel fragments (a single row group serializes the read stage)
         pq.write_table(
             synth_tokens_table(n_entities, n_rows, seed, max_tok=max_tok),
             f"{d}/tokens.parquet",
+            row_group_size=32_768,
         )
         pq.write_table(synth_scores_table(n_entities, seed + 1), f"{d}/scores.parquet")
         with open(marker, "w") as f:
