@@ -130,7 +130,9 @@ def flagship_features(
                          heavy=heavy),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=16_384,  # amortize segmented-kernel setup; ~10MB/batch
+        batch_size=4_096,  # cache-sized batches: the segmented kernels are
+        # memory-bandwidth-bound; ~2MB working sets more than double aggregate
+        # throughput at full concurrency vs 16k-row batches (measured)
     )
     stat_cols = [f"tok_{s}" for s in stats] + (["tok_dfa", "tok_dfc", "tok_dfc_amp"] if heavy else [])
     narrow_cols = list(dict.fromkeys([entity, ts, "source", "n_tok"])) + stat_cols
@@ -180,8 +182,20 @@ def run_flagship(
     (consumed if out_dir given)."""
     import ray.data as rd
 
-    tokens = rd.read_parquet(tokens_path)
-    scores = rd.read_parquet(scores_path)
+    # input layout rule: tokens_path should be a DIRECTORY of parquet shards —
+    # ray.data schedules one read task per file, so a single giant file would
+    # serialize the parquet decode and cap the whole pipeline. Pin one block
+    # per shard: letting Ray sub-split files multiplies the block count and
+    # the driver's per-block scheduling overhead becomes the bottleneck.
+    import glob
+    import os
+
+    if os.path.isdir(tokens_path):
+        n_files = len(glob.glob(f"{tokens_path}/*.parquet"))
+        tokens = rd.read_parquet(tokens_path, override_num_blocks=max(n_files, 1))
+    else:
+        tokens = rd.read_parquet(tokens_path)
+    scores = rd.read_parquet(scores_path, override_num_blocks=1)
     if out_dir is None:
         return flagship_features(tokens, scores, num_buckets=num_buckets, heavy=heavy, **kw)
 

@@ -128,8 +128,24 @@ def token_stats_arrays(
 
     need_sorted = {"q1", "q3", "iqr", "median", "mode", "En"} & set(stats)
     if need_sorted and v.size:
-        order = np.lexsort((v, seg_of))
-        vs = v[order]
+        # fast path for token-like values: one flat int64 sort of
+        # (segment * V + value) replaces the 2-key lexsort + gather
+        vmax_all = v.max()
+        vmin_all = v.min()
+        is_small_int = (
+            vmin_all >= 0
+            and vmax_all < (1 << 21)
+            and np.all(v == np.floor(v))
+        )
+        if is_small_int:
+            V = np.int64(vmax_all) + 1
+            comp = np.sort(seg_of.astype(np.int64) * V + v.astype(np.int64))
+            vs = (comp % V).astype(np.float64)
+            seg_sorted = comp // V
+        else:
+            order = np.lexsort((v, seg_of))
+            vs = v[order]
+            seg_sorted = seg_of[order]
         if "q1" in stats or "iqr" in stats:
             q1 = np.where(empty, np.nan, _segment_quantile(vs, starts, lengths, 25.0))
         if "q3" in stats or "iqr" in stats:
@@ -144,21 +160,25 @@ def token_stats_arrays(
             out["median"] = np.where(empty, np.nan, _segment_quantile(vs, starts, lengths, 50.0))
         if "mode" in stats or "En" in stats:
             # value runs within sorted segments
-            new_run = np.r_[True, (vs[1:] != vs[:-1]) | (seg_of[order][1:] != seg_of[order][:-1])]
+            new_run = np.r_[True, (vs[1:] != vs[:-1]) | (seg_sorted[1:] != seg_sorted[:-1])]
             run_starts = np.flatnonzero(new_run)
             run_counts = np.diff(np.r_[run_starts, vs.size]).astype(np.float64)
-            run_seg = seg_of[order][run_starts]
+            run_seg = seg_sorted[run_starts]
             run_val = vs[run_starts]
             # first run index per segment (runs are segment-sorted)
             seg_first_run = np.r_[True, run_seg[1:] != run_seg[:-1]]
             if "mode" in stats:
-                # per segment: first (=smallest value) run with max count
-                import pandas as pd
-
-                df = pd.DataFrame({"seg": run_seg, "cnt": run_counts, "val": run_val})
-                idx = df.groupby("seg", sort=True)["cnt"].idxmax()  # first max
+                # per segment: FIRST (= smallest value) run with the max count,
+                # fully vectorized: max count per segment via reduceat, then the
+                # min run index among count==max runs via a masked reduceat
+                first_idx = np.flatnonzero(seg_first_run)
+                maxc = np.maximum.reduceat(run_counts, first_idx)
+                maxc_per_run = np.repeat(maxc, np.diff(np.r_[first_idx, run_seg.size]))
+                ridx = np.arange(run_seg.size, dtype=np.int64)
+                masked = np.where(run_counts == maxc_per_run, ridx, np.iinfo(np.int64).max)
+                winner = np.minimum.reduceat(masked, first_idx)
                 mode = np.full(n, np.nan)
-                mode[df.loc[idx, "seg"].to_numpy()] = df.loc[idx, "val"].to_numpy()
+                mode[run_seg[first_idx]] = run_val[winner]
                 out["mode"] = mode
             if "En" in stats:
                 p = run_counts / safe_len[run_seg]
@@ -176,21 +196,17 @@ def token_stats_arrays(
 
     if "zcr" in stats:
         # ZCR(normalize(x)): sign of (x - mean) flips; zero std -> all False -> 0
-        pos = (d > 0).astype(np.int8)
-        flips = np.abs(np.diff(pos)).astype(np.float64)
+        pos = d > 0
         same_seg = seg_of[1:] == seg_of[:-1]
-        flips = np.where(same_seg, flips, 0.0)
-        z = np.zeros(n)
-        if flips.size:
-            np.add.at(z, seg_of[:-1][same_seg], flips[same_seg])
+        flips = ((pos[1:] != pos[:-1]) & same_seg).astype(np.float64)
+        z = np.bincount(seg_of[:-1], weights=flips, minlength=n) if flips.size else np.zeros(n)
         out["zcr"] = np.where(empty, np.nan, z / safe_len)
     if "meanTKEO" in stats:
         tk = np.full(n, np.nan)
         if v.size >= 3:
-            term = v[1:-1] ** 2 - v[2:] * v[:-2]
             interior = (seg_of[1:-1] == seg_of[:-2]) & (seg_of[1:-1] == seg_of[2:])
-            sums = np.zeros(n)
-            np.add.at(sums, seg_of[1:-1][interior], term[interior])
+            term = (v[1:-1] ** 2 - v[2:] * v[:-2]) * interior
+            sums = np.bincount(seg_of[1:-1], weights=term, minlength=n)
             cnt = np.maximum(lengths - 2, 0)
             with np.errstate(invalid="ignore", divide="ignore"):
                 tk = np.where(cnt > 0, sums / cnt, np.nan)
@@ -198,13 +214,9 @@ def token_stats_arrays(
     if "ar1" in stats:
         res = np.full(n, np.nan)
         if v.size >= 2:
-            prod = v[1:] * v[:-1]
-            same = seg_of[1:] == seg_of[:-1]
-            num = np.zeros(n)
-            np.add.at(num, seg_of[:-1][same], prod[same])
-            sq = v[:-1] * v[:-1]
-            den = np.zeros(n)
-            np.add.at(den, seg_of[:-1][same], sq[same])
+            same = (seg_of[1:] == seg_of[:-1]).astype(np.float64)
+            num = np.bincount(seg_of[:-1], weights=v[1:] * v[:-1] * same, minlength=n)
+            den = np.bincount(seg_of[:-1], weights=v[:-1] * v[:-1] * same, minlength=n)
             with np.errstate(invalid="ignore", divide="ignore"):
                 res = np.where(den > 0, num / den, np.nan)
         out["ar1"] = res

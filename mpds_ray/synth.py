@@ -104,13 +104,19 @@ def cached_fixture_dir(scale: str = "small", seed: int = 42) -> str:
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
-        # small row groups so ray.data.read_parquet can split the read into
-        # parallel fragments (a single row group serializes the read stage)
-        pq.write_table(
-            synth_tokens_table(n_entities, n_rows, seed, max_tok=max_tok),
-            f"{d}/tokens.parquet",
-            row_group_size=32_768,
-        )
+        # shard the tokens table into many files: ray.data schedules one read
+        # task per file, so a single giant file would serialize the parquet
+        # decode (exactly the layout rule for the real 100 TB input)
+        table = synth_tokens_table(n_entities, n_rows, seed, max_tok=max_tok)
+        n_shards = max(1, min(64, n_rows // 16_384))
+        shard_dir = f"{d}/tokens.parquet"
+        os.makedirs(shard_dir, exist_ok=True)
+        per = (table.num_rows + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            piece = table.slice(i * per, per)
+            if piece.num_rows:
+                pq.write_table(piece, f"{shard_dir}/part-{i:04d}.parquet",
+                               row_group_size=16_384)
         pq.write_table(synth_scores_table(n_entities, seed + 1), f"{d}/scores.parquet")
         with open(marker, "w") as f:
             f.write("ok")

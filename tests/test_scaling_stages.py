@@ -68,8 +68,8 @@ class TestImpute:
         assert d2["c"] == 99.0
         out = apply_impute(ds, d).to_pandas()
         assert out["c"].isna().sum() == 0
-        filled = out.loc[df["c"].isna().to_numpy(), "c"]
-        assert (filled == pytest.approx(d["c"])).all()
+        filled = out.loc[df["c"].isna().to_numpy(), "c"].to_numpy()
+        np.testing.assert_allclose(filled, d["c"])
 
     def test_all_nan_column_raises(self, ray_session):
         import ray.data as rd
