@@ -53,59 +53,84 @@ def _fused_bucket_fn(
     """Per-bucket: sort -> sessionize -> lag/prefix -> as-of merge -> backfill."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g[_SIDE] == 0].sort_values([entity, ts], kind="mergesort")
-        right = g[g[_SIDE] == 1].sort_values([entity, ts], kind="mergesort")
-        out = left.drop(columns=[_SIDE, _BUCKET, "score"], errors="ignore").reset_index(
-            drop=True
+        left = g[g[_SIDE] == 0]
+        right = g[g[_SIDE] == 1]
+        return process_bucket(
+            left, right, entity, ts, session_gap, tolerance, stat_cols,
+            bucket_id=int(g[_BUCKET].iloc[0]), sink=sink,
         )
-        ids = out[entity].to_numpy()
-        t = out[ts].to_numpy().astype(np.float64)
-
-        # sessionize: per-entity session ordinal (batch-size invariant)
-        sid = sessionize_gap(ids, t, gap=session_gap)
-        ent_first_sid = pd.Series(sid).groupby(pd.Series(ids), sort=False).transform("min")
-        out["session_seq"] = sid - ent_first_sid.to_numpy()
-
-        # lag/lead over rows (every row is an "event" -> inter-arrival features)
-        lags = time_since_to_event(ids, t, np.ones(len(out), dtype=np.int64))
-        out["secs_since_prev"] = lags["time_since_last_event"]
-        out["secs_to_next"] = lags["time_to_next_event"]
-
-        # per-entity prefix features over the first stat column
-        if stat_cols:
-            pf = prefix_features(ids, t, out[stat_cols[0]].to_numpy())
-            out["run_cummax"] = pf["cummax"]
-            out["run_twmean"] = pf["twmean"]
-
-        # as-of merge of scores (backward + tolerance) — zero temporal leakage
-        if len(right):
-            joined = asof_join_arrays(
-                ids,
-                t,
-                right[entity].to_numpy(),
-                right[ts].to_numpy().astype(np.float64),
-                {"score": right["score"].to_numpy()},
-                tolerance=tolerance,
-                direction="backward",
-            )
-            out["score_asof"] = joined["score"]
-            out["score_asof_ts"] = joined["_matched_ts"]
-        else:
-            out["score_asof"] = np.nan
-            out["score_asof_ts"] = np.nan
-
-        # backfill: LOCF-with-expiration of the aligned score along the row grid
-        lf = locf_with_expiration(
-            ids, t, out["score_asof"].to_numpy(), valid_time=np.inf if tolerance is None else tolerance
-        )
-        out["score_locf"] = lf["locf"]
-        out["secs_since_score"] = lf["time_since_last_sample"]
-        out[_BUCKET] = g[_BUCKET].iloc[0]
-        if sink is not None:
-            return sink(out, int(g[_BUCKET].iloc[0]))
-        return out
 
     return fn
+
+
+def process_bucket(
+    left: pd.DataFrame,
+    right: pd.DataFrame,
+    entity: str,
+    ts: str,
+    session_gap: float,
+    tolerance: float | None,
+    stat_cols: list[str],
+    bucket_id: int,
+    sink=None,
+) -> pd.DataFrame:
+    """The per-bucket scan core, shared by the Dataset groupby path and the
+    explicit hash-exchange path: establish (entity, ts) sort, sessionize,
+    lag/lead, prefix features, as-of merge, LOCF backfill, optional sink."""
+    left = left.sort_values([entity, ts], kind="mergesort")
+    right = right.sort_values([entity, ts], kind="mergesort")
+    out = left.drop(columns=[_SIDE, _BUCKET, "score"], errors="ignore").reset_index(
+        drop=True
+    )
+    if "n_tok" in out.columns and out["n_tok"].dtype != np.int32:
+        # the tagged-union path upcasts n_tok via the null score rows
+        out["n_tok"] = out["n_tok"].astype(np.int32)
+    ids = out[entity].to_numpy()
+    t = out[ts].to_numpy().astype(np.float64)
+
+    # sessionize: per-entity session ordinal (batch-size invariant)
+    sid = sessionize_gap(ids, t, gap=session_gap)
+    ent_first_sid = pd.Series(sid).groupby(pd.Series(ids), sort=False).transform("min")
+    out["session_seq"] = sid - ent_first_sid.to_numpy()
+
+    # lag/lead over rows (every row is an "event" -> inter-arrival features)
+    lags = time_since_to_event(ids, t, np.ones(len(out), dtype=np.int64))
+    out["secs_since_prev"] = lags["time_since_last_event"]
+    out["secs_to_next"] = lags["time_to_next_event"]
+
+    # per-entity prefix features over the first stat column
+    if stat_cols:
+        pf = prefix_features(ids, t, out[stat_cols[0]].to_numpy())
+        out["run_cummax"] = pf["cummax"]
+        out["run_twmean"] = pf["twmean"]
+
+    # as-of merge of scores (backward + tolerance) — zero temporal leakage
+    if len(right):
+        joined = asof_join_arrays(
+            ids,
+            t,
+            right[entity].to_numpy(),
+            right[ts].to_numpy().astype(np.float64),
+            {"score": right["score"].to_numpy()},
+            tolerance=tolerance,
+            direction="backward",
+        )
+        out["score_asof"] = joined["score"]
+        out["score_asof_ts"] = joined["_matched_ts"]
+    else:
+        out["score_asof"] = np.nan
+        out["score_asof_ts"] = np.nan
+
+    # backfill: LOCF-with-expiration of the aligned score along the row grid
+    lf = locf_with_expiration(
+        ids, t, out["score_asof"].to_numpy(), valid_time=np.inf if tolerance is None else tolerance
+    )
+    out["score_locf"] = lf["locf"]
+    out["secs_since_score"] = lf["time_since_last_sample"]
+    out[_BUCKET] = np.int32(bucket_id)
+    if sink is not None:
+        return sink(out, bucket_id)
+    return out
 
 
 def flagship_features(
@@ -218,3 +243,75 @@ def run_flagship(
     return flagship_features(
         tokens, scores, num_buckets=num_buckets, heavy=heavy, sink=_sink, **kw
     )
+
+
+def run_flagship_exchange(
+    tokens_dir: str,
+    scores_path: str,
+    out_dir: str | None = None,
+    manifest_path: str | None = None,
+    entity: str = "doc_id",
+    ts: str = "ts",
+    session_gap: float = 300.0,
+    tolerance: float | None = 86_400.0,
+    num_buckets: int = 64,
+    stats: tuple[str, ...] = NARROW_STATS,
+) -> pd.DataFrame:
+    """Flagship on the explicit two-stage hash exchange (stages.exchange):
+    map tasks fuse read + windowed stats + bucket split; reduce tasks fuse
+    sort + sessionize + lag + as-of + backfill + resumable sink. The (small)
+    scores table is broadcast via ``ray.put`` — it never enters the exchange.
+
+    Returns per-partition summary rows (or the features when out_dir=None).
+    Produces byte-identical partitions to ``run_flagship`` (tested).
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import hash_exchange
+
+    shards = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    if not shards:
+        shards = [tokens_dir]
+    scores_df = pq.read_table(scores_path).to_pandas()
+    scores_df[_SIDE] = 1
+    scores_ref = ray.put(scores_df)
+
+    stat_cols = [f"tok_{s}" for s in stats]
+    narrow_cols = list(dict.fromkeys([entity, ts, "source", "n_tok"])) + stat_cols
+    tw = TokenWindowStats(stats=stats)
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        return tw(t).select(narrow_cols)
+
+    done: set = set()
+    manifest_file = None
+    if out_dir is not None:
+        manifest_file = manifest_path or f"{out_dir}/manifest.jsonl"
+        done = Manifest(manifest_file).completed("flagship")
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        import time as _time
+
+        left = tbl.to_pandas()
+        scores = ray.get(scores_ref)
+        sbuck = stable_bucket(scores[entity].to_numpy(), num_buckets)
+        right = scores[sbuck == b]
+        feats = process_bucket(
+            left, right, entity, ts, session_gap, tolerance, stat_cols, bucket_id=b
+        )
+        if out_dir is None:
+            return feats
+        if b in done:
+            return pd.DataFrame({"partition_id": [b], "rows": [0], "skipped": [True]})
+        t0 = _time.perf_counter()
+        body = feats.drop(columns=[_BUCKET])
+        write_partition_atomic(body, out_dir, b)
+        Manifest(manifest_file).append(
+            "flagship", b, len(body), frame_checksum(body), _time.perf_counter() - t0
+        )
+        return pd.DataFrame({"partition_id": [b], "rows": [len(body)], "skipped": [False]})
+
+    return hash_exchange(shards, map_fn, entity, num_buckets, reduce_fn)

@@ -1,0 +1,88 @@
+"""Explicit two-stage hash exchange (map-split -> reduce-merge).
+
+``Dataset.groupby`` implements its shuffle as a sort: sample boundaries on
+the driver, sort-map every block, sort-reduce — two driver round trips and a
+global barrier that cost a fixed ~3-4 s regardless of cluster size (measured
+on the flagship). For the flagship's bucket exchange the key is ALREADY an
+integer in [0, P), so the engine provides the classic MR-style alternative,
+built from raw Ray tasks exactly as SURVEY §2 licenses for operators the
+Dataset API cannot express efficiently:
+
+    map task (one per input shard, fully parallel):
+        read shard -> map_fn -> bucket = stable_hash(entity) % P
+        -> ONE stable argsort by bucket -> P zero-copy table slices
+        (``num_returns=P``: each slice is its own object, fetched only by
+        its reduce task — the all-to-all moves through the object store
+        with no driver barrier)
+    reduce task (one per bucket, fully parallel):
+        concat its P_in slices -> reduce_fn(bucket_table)
+
+Ordering inside a bucket is irrelevant by construction: every reduce_fn in
+this engine re-sorts by (entity, ts) — the partition invariant is established
+per bucket, never assumed from the exchange.
+
+Skew note: bucket granularity bounds reduce-task size; heavy ENTITIES cannot
+be split (scans need whole entities) but heavy SOURCES can be salted on the
+map side with a per-key stitch in reduce (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .partition import stable_bucket
+
+
+def _split_by_bucket(table: pa.Table, bucket: np.ndarray, num_buckets: int) -> list[pa.Table]:
+    """One stable argsort + P zero-copy slices of the bucket-sorted table."""
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    counts = np.bincount(bucket, minlength=num_buckets)
+    offsets = np.r_[0, np.cumsum(counts)]
+    return [
+        sorted_tbl.slice(int(offsets[b]), int(counts[b])) for b in range(num_buckets)
+    ]
+
+
+def hash_exchange(
+    shard_paths: list[str],
+    map_fn: Callable[[pa.Table], pa.Table],
+    entity_col: str,
+    num_buckets: int,
+    reduce_fn: Callable[[int, pa.Table], pd.DataFrame],
+    map_num_cpus: float = 1.0,
+    reduce_num_cpus: float = 1.0,
+) -> pd.DataFrame:
+    """Run the exchange; returns the concatenated reduce outputs (small)."""
+
+    @ray.remote(num_cpus=map_num_cpus, num_returns=num_buckets)
+    def map_shard(path: str):
+        import pyarrow.parquet as pq
+
+        t = map_fn(pq.read_table(path))
+        bucket = stable_bucket(t[entity_col].to_numpy(zero_copy_only=False), num_buckets)
+        parts = _split_by_bucket(t, bucket, num_buckets)
+        return tuple(parts) if num_buckets > 1 else parts[0]
+
+    @ray.remote(num_cpus=reduce_num_cpus)
+    def reduce_bucket(b: int, *parts: pa.Table):
+        nonempty = [p for p in parts if p.num_rows]
+        if not nonempty:
+            return pd.DataFrame()
+        return reduce_fn(b, pa.concat_tables(nonempty))
+
+    # refs[s][b] = slice of shard s destined for bucket b
+    refs = [map_shard.remote(p) for p in shard_paths]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    out = [
+        reduce_bucket.remote(b, *[refs[s][b] for s in range(len(shard_paths))])
+        for b in range(num_buckets)
+    ]
+    frames = [f for f in ray.get(out) if len(f)]
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()

@@ -97,7 +97,7 @@ def cached_fixture_dir(scale: str = "small", seed: int = 42) -> str:
     sizes = {
         "tiny": (3, 40, 512),
         "small": (200, 20_000, 512),
-        "bench": (2_000, 1_000_000, 128),  # 1M sequences, bounded token bytes
+        "bench": (2_000, 2_000_000, 128),  # 2M sequences, bounded token bytes
     }
     n_entities, n_rows, max_tok = sizes[scale]
     d = f"/tmp/mpds_fixtures/{scale}_seed{seed}"
@@ -108,7 +108,7 @@ def cached_fixture_dir(scale: str = "small", seed: int = 42) -> str:
         # task per file, so a single giant file would serialize the parquet
         # decode (exactly the layout rule for the real 100 TB input)
         table = synth_tokens_table(n_entities, n_rows, seed, max_tok=max_tok)
-        n_shards = max(1, min(64, n_rows // 16_384))
+        n_shards = max(1, min(32, n_rows // 16_384))
         shard_dir = f"{d}/tokens.parquet"
         os.makedirs(shard_dir, exist_ok=True)
         per = (table.num_rows + n_shards - 1) // n_shards

@@ -1,0 +1,64 @@
+"""Explicit hash exchange: equivalence with the Dataset groupby path,
+resume-skip, and split correctness."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mpds_ray.pipelines.flagship import run_flagship, run_flagship_exchange
+from mpds_ray.stages.exchange import _split_by_bucket
+from mpds_ray.synth import cached_fixture_dir
+
+
+class TestSplit:
+    def test_split_partitions_and_preserves_rows(self):
+        t = pa.table({"k": list(range(10)), "b": [3, 1, 0, 1, 2, 3, 0, 0, 1, 2]})
+        bucket = t["b"].to_numpy()
+        parts = _split_by_bucket(t, bucket, 4)
+        assert sum(p.num_rows for p in parts) == 10
+        for b, p in enumerate(parts):
+            assert (p["b"].to_numpy() == b).all()
+        # stable within bucket: original order preserved
+        assert parts[0]["k"].to_pylist() == [2, 6, 7]
+
+    def test_empty_buckets(self):
+        t = pa.table({"k": [1], "b": [2]})
+        parts = _split_by_bucket(t, np.array([2]), 4)
+        assert [p.num_rows for p in parts] == [0, 0, 1, 0]
+
+
+class TestExchangeFlagship:
+    @pytest.fixture(scope="class")
+    def dirs(self, ray_session):
+        d = cached_fixture_dir("small")
+        a, b = "/tmp/mpds_test_ex/a", "/tmp/mpds_test_ex/b"
+        shutil.rmtree("/tmp/mpds_test_ex", ignore_errors=True)
+        run_flagship(f"{d}/tokens.parquet", f"{d}/scores.parquet",
+                     out_dir=a, num_buckets=8).to_pandas()
+        run_flagship_exchange(f"{d}/tokens.parquet", f"{d}/scores.parquet",
+                              out_dir=b, num_buckets=8)
+        return a, b
+
+    def _load(self, out_dir):
+        files = sorted(glob.glob(f"{out_dir}/part-*.parquet"))
+        df = pd.concat([pq.read_table(p).to_pandas() for p in files])
+        return df.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+
+    def test_byte_equivalent_outputs(self, dirs):
+        a, b = dirs
+        fa, fb = self._load(a), self._load(b)
+        pd.testing.assert_frame_equal(fa, fb[fa.columns])
+
+    def test_exchange_resume_skips(self, dirs, ray_session):
+        d = cached_fixture_dir("small")
+        _, b = dirs
+        res = run_flagship_exchange(f"{d}/tokens.parquet", f"{d}/scores.parquet",
+                                    out_dir=b, num_buckets=8)
+        assert res["skipped"].all()
