@@ -150,6 +150,54 @@ def train_gbrt_dssl(
     return {"trees": trees, "steps": steps, "loss_history": history, "train_scores": scores}
 
 
+def optimize_ranks(
+    n: int,
+    pairs: np.ndarray,
+    mu: float = 1.0,
+    h: float = 0.5,
+    max_iter: int = 200,
+    lr: float = 1.0,
+    tol: float = 1e-9,
+) -> np.ndarray:
+    """L4 optimal-rank solver (dssFunctionLibrary.R:1104-1335): plain gradient
+    descent directly on the per-row score (rank) vector under the same Huber
+    ranking loss — the model-free upper bound the reference uses to sanity-
+    check learners."""
+    scores = np.zeros(n)
+    loss, grad = ranking_loss_and_grad(scores, pairs, mu, h)
+    step = lr
+    for _ in range(max_iter):
+        gnorm2 = float(grad @ grad)
+        if gnorm2 < tol:
+            break
+        step = min(step * 2.0, 1e3)
+        while step > 1e-12:
+            new_scores = scores - step * grad
+            new_loss, new_grad = ranking_loss_and_grad(new_scores, pairs, mu, h)
+            if new_loss <= loss - 1e-4 * step * gnorm2:
+                break
+            step *= 0.5
+        if abs(loss - new_loss) <= tol * max(1.0, abs(loss)):
+            scores, loss, grad = new_scores, new_loss, new_grad
+            break
+        scores, loss, grad = new_scores, new_loss, new_grad
+    return scores
+
+
+def negative_downsample(
+    labels: np.ndarray, ratio: int = 10, seed: int = 42
+) -> np.ndarray:
+    """O6 (dssFunctionLibrary.R:1518): keep all positives + a seeded sample of
+    ``ratio * n_pos`` negatives; returns the kept row indices, sorted."""
+    labels = np.asarray(labels)
+    pos = np.flatnonzero(labels == 1)
+    neg = np.flatnonzero(labels != 1)
+    k = min(ratio * pos.size, neg.size)
+    rng = np.random.default_rng(seed)
+    keep_neg = rng.choice(neg, k, replace=False) if k else np.empty(0, dtype=np.int64)
+    return np.sort(np.r_[pos, keep_neg])
+
+
 def score_ensemble(model: dict, x: np.ndarray) -> np.ndarray:
     """Full-model scoring: sum of step-weighted tree outputs."""
     out = np.zeros(x.shape[0])

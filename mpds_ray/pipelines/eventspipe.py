@@ -312,8 +312,99 @@ FROM r LEFT JOIN d ON r.user_id = d.user_id AND r.run_id = d.run_id
 """
 
 
+# --- A3: order-sensitive per-group first ---
+
+
+def first_event_per_user(sf_dir: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id", sort=True, as_index=False).first()
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"],
+                "first_event_id": first["event_id"].astype(np.int64),
+                "first_type": first["event_type"],
+                "first_ts": first["ts"].round(6),
+            }
+        )
+
+    return _per_bucket(_events_sorted(sf_dir, ["event_type"]), fn)
+
+
+FIRST_EVENT_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, epoch(ts) AS ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS first_event_id, event_type AS first_type,
+       round(ts, 6) AS first_ts
+FROM r WHERE rn = 1
+"""
+
+# --- D3/D4: set ops on id universes (union / intersect / difference) ---
+
+
+def user_set_ops(sf_dir: str):
+    ev = read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id")["event_type"].agg(
+            has_purchase=lambda s: int((s == "purchase").any()),
+            has_error=lambda s: int((s == "error").any()),
+            has_signup=lambda s: int((s == "signup").any()),
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Max
+
+    flags = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Max("has_purchase", alias_name="has_purchase"),
+            Max("has_error", alias_name="has_error"),
+            Max("has_signup", alias_name="has_signup"),
+        )
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_union_purchase_error": [
+                    int(((b["has_purchase"] == 1) | (b["has_error"] == 1)).sum())
+                ],
+                "n_intersect_purchase_error": [
+                    int(((b["has_purchase"] == 1) & (b["has_error"] == 1)).sum())
+                ],
+                "n_purchase_minus_signup": [
+                    int(((b["has_purchase"] == 1) & (b["has_signup"] == 0)).sum())
+                ],
+            }
+        )
+
+    # final reduction is tiny: collect the per-user flag table once
+    return finish(flags.to_pandas())
+
+
+SET_OPS_SQL = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+         max(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS has_error,
+         max(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS has_signup
+  FROM events GROUP BY user_id
+)
+SELECT count(*) FILTER (has_purchase = 1 OR has_error = 1)   AS n_union_purchase_error,
+       count(*) FILTER (has_purchase = 1 AND has_error = 1)  AS n_intersect_purchase_error,
+       count(*) FILTER (has_purchase = 1 AND has_signup = 0) AS n_purchase_minus_signup
+FROM f
+"""
+
+
 QUERIES = {
     "sessionize_user_events": sessionize_user_events,
+    "first_event_per_user": first_event_per_user,
+    "user_set_ops": user_set_ops,
     "time_since_prev_event": time_since_prev_event,
     "time_to_next_error": time_to_next_error,
     "locf_last_purchase": locf_last_purchase,
@@ -325,6 +416,8 @@ QUERIES = {
 
 ORACLE = {
     "sessionize_user_events": SESSIONIZE_SQL,
+    "first_event_per_user": FIRST_EVENT_SQL,
+    "user_set_ops": SET_OPS_SQL,
     "time_since_prev_event": SINCE_PREV_SQL,
     "time_to_next_error": TO_NEXT_ERROR_SQL,
     "locf_last_purchase": LOCF_SQL,

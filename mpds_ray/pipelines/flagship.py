@@ -256,6 +256,7 @@ def run_flagship_exchange(
     tolerance: float | None = 86_400.0,
     num_buckets: int = 64,
     stats: tuple[str, ...] = NARROW_STATS,
+    heavy: bool = False,
 ) -> pd.DataFrame:
     """Flagship on the explicit two-stage hash exchange (stages.exchange):
     map tasks fuse read + windowed stats + bucket split; reduce tasks fuse
@@ -279,6 +280,8 @@ def run_flagship_exchange(
     scores_df[_SIDE] = 1
     scores_ref = ray.put(scores_df)
 
+    if heavy:
+        stats = tuple(stats) + ("dfa", "dfc", "dfc_amp")
     stat_cols = [f"tok_{s}" for s in stats]
     narrow_cols = list(dict.fromkeys([entity, ts, "source", "n_tok"])) + stat_cols
     tw = TokenWindowStats(stats=stats)

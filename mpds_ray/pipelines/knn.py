@@ -135,10 +135,67 @@ FROM dims GROUP BY label ORDER BY label
 """
 
 
+def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_tables: int = 4, n_bits: int = 12):
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    per table, rows sharing a 12-bit sign code become candidates; candidates
+    are verified exactly and deduped. Rows-only check (pytest plants dups)."""
+    import ray.data as rd
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = len(_query_vector(sf_dir))
+    rng = np.random.default_rng(42)
+    planes = [rng.normal(size=(dim, n_bits)) for _ in range(n_tables)]
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def codes(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        rows = []
+        for t_i, p in enumerate(planes):
+            c = ((m @ p) > 0) @ weights
+            rows.append(
+                pd.DataFrame({"table": t_i, "code": c, "vec_id": b["vec_id"],
+                              "norm_vec": list(m)})
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        g = g.sort_values("vec_id")
+        m = np.stack(g["norm_vec"].to_numpy())
+        sims = m @ m.T
+        ids = g["vec_id"].to_numpy()
+        ii, jj = np.triu_indices(len(g), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[ii[keep]], "vec_b": ids[jj[keep]],
+             "cos_sim": np.round(sims[ii, jj][keep], 6)}
+        )
+
+    out = (
+        emb.map_batches(codes, batch_format="pandas")
+        .groupby(["table", "code"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
+    return (
+        out.drop_duplicates(subset=["vec_a", "vec_b"])
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
 QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "knn_ivf_top10": knn_ivf_top10,
     "label_centroid_sims": label_centroid_sims,
+    "embedding_near_dups": embedding_near_dups,
 }
 
 ORACLE = {

@@ -221,29 +221,42 @@ def token_stats_arrays(
                 res = np.where(den > 0, num / den, np.nan)
         out["ar1"] = res
 
-    for name in stats:
-        if name in HEAVY_STATS:
-            col = np.full(n, np.nan)
-            amp = np.full(n, np.nan)
+    heavy_req = [s for s in stats if s in HEAVY_STATS]
+    if heavy_req:
+        want_dfa = "dfa" in heavy_req
+        want_dfc = "dfc" in heavy_req or "dfc_amp" in heavy_req
+        dfa_out = np.full(n, np.nan)
+        dfc_out = np.full(n, np.nan)
+        amp_out = np.full(n, np.nan)
+        if ts_values is None:
+            # regular grid t = arange(L)/rate -> batch rows by window length
+            from ..kernels.batched import dfa_batch, lomb_batch
+
+            for length in np.unique(lengths):
+                if length == 0:
+                    continue
+                rows = np.flatnonzero(lengths == length)
+                gather = starts[rows][:, None] + np.arange(length)[None, :]
+                mat = v[gather]
+                if want_dfa:
+                    dfa_out[rows] = dfa_batch(mat)
+                if want_dfc:
+                    dfc_out[rows], amp_out[rows] = lomb_batch(mat, sample_rate)
+        else:
+            # irregular per-row timestamps -> scalar kernels
             for i in range(n):
                 seg = v[starts[i] : starts[i] + lengths[i]]
-                if name == "dfa":
-                    col[i] = fastdfa(seg)
-                elif name in ("dfc", "dfc_amp") and "dfc" not in out:
-                    t = (
-                        ts_values[starts[i] : starts[i] + lengths[i]]
-                        if ts_values is not None
-                        else np.arange(lengths[i]) / sample_rate
-                    )
-                    col[i], amp[i] = dominant_frequency(t, seg)
-            if name == "dfa":
-                out["dfa"] = col
-            elif name == "dfc" and "dfc" not in out:
-                out["dfc"] = col
-                out["_dfc_amp_cache"] = amp
-            elif name == "dfc_amp":
-                out["dfc_amp"] = out.pop("_dfc_amp_cache", amp)
-    out.pop("_dfc_amp_cache", None)
+                if want_dfa:
+                    dfa_out[i] = fastdfa(seg)
+                if want_dfc:
+                    t = ts_values[starts[i] : starts[i] + lengths[i]]
+                    dfc_out[i], amp_out[i] = dominant_frequency(t, seg)
+        if want_dfa:
+            out["dfa"] = dfa_out
+        if "dfc" in heavy_req:
+            out["dfc"] = dfc_out
+        if "dfc_amp" in heavy_req:
+            out["dfc_amp"] = amp_out
     return out
 
 

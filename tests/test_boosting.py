@@ -112,3 +112,39 @@ class TestSlicedScoring:
             )
             total += part.loc[df["row_key"]].to_numpy()
         np.testing.assert_allclose(total, full, atol=1e-10)
+
+
+class TestOptimalRanks:
+    def test_achieves_perfect_pair_order(self):
+        from mpds_ray.functions.boosting import optimize_ranks
+
+        n = 100
+        order = rng.permutation(n)
+        pairs = np.column_stack([order[:40], order[-40:]])
+        s = optimize_ranks(n, pairs, max_iter=300)
+        assert np.mean(s[pairs[:, 0]] > s[pairs[:, 1]]) == 1.0
+
+    def test_deterministic(self):
+        from mpds_ray.functions.boosting import optimize_ranks
+
+        pairs = np.column_stack([np.arange(20), np.arange(20) + 20])
+        np.testing.assert_array_equal(
+            optimize_ranks(40, pairs), optimize_ranks(40, pairs)
+        )
+
+
+class TestNegativeDownsample:
+    def test_ratio_and_determinism(self):
+        from mpds_ray.functions.boosting import negative_downsample
+
+        labels = np.r_[np.ones(10), np.zeros(500)]
+        keep = negative_downsample(labels, ratio=10, seed=1)
+        assert (labels[keep] == 1).sum() == 10
+        assert (labels[keep] == 0).sum() == 100
+        np.testing.assert_array_equal(keep, negative_downsample(labels, ratio=10, seed=1))
+
+    def test_fewer_negatives_than_cap(self):
+        from mpds_ray.functions.boosting import negative_downsample
+
+        labels = np.r_[np.ones(10), np.zeros(5)]
+        assert len(negative_downsample(labels, ratio=10)) == 15

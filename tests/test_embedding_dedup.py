@@ -1,0 +1,41 @@
+"""Embedding-cosine near-dup (LSH) finds planted near-duplicate vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_lsh_finds_planted_near_dups(ray_session, tmp_path):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(60, 64)).astype(np.float32)
+    # plant: vec 60 ~ vec 0 (tiny perturbation), vec 61 ~ vec 5
+    dup_a = base[0] + 0.01 * rng.normal(size=64).astype(np.float32)
+    dup_b = base[5] + 0.01 * rng.normal(size=64).astype(np.float32)
+    m = np.vstack([base, dup_a, dup_b])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array([row.tolist() for row in m], type=pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(m), dtype=np.int32)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    from mpds_ray.pipelines.knn import embedding_near_dups
+
+    out = embedding_near_dups(str(tmp_path), threshold=0.95)
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    assert (0, 60) in pairs and (5, 61) in pairs
+    # no false positives among random gaussians at 0.95
+    assert len(pairs) == 2
+
+
+def test_no_dups_in_random_corpus(ray_session, sf_dir):
+    from mpds_ray.pipelines.knn import embedding_near_dups
+
+    out = embedding_near_dups(sf_dir, threshold=0.99)
+    assert isinstance(out, pd.DataFrame)
+    assert len(out) == 0  # random embeddings share no 0.99-cosine pairs
