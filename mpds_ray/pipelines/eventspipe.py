@@ -312,6 +312,52 @@ FROM r LEFT JOIN d ON r.user_id = d.user_id AND r.run_id = d.run_id
 """
 
 
+# --- sliding time-range window (streaming-shaped): trailing 600 s mean ---
+
+SLIDE_WIN = 600.0
+
+
+def sliding_window_mean(sf_dir: str):
+    """Per event: mean/count of ``value`` over the trailing 600 s window of
+    the same user (inclusive) — two-pointer window via prefix sums +
+    searchsorted per entity segment, no per-row loop."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy()
+        v = g["value"].to_numpy()
+        out_mean = np.empty(len(g))
+        out_n = np.empty(len(g), dtype=np.int64)
+        uniq, starts = np.unique(ids, return_index=True)
+        ends = np.r_[starts[1:], len(g)]
+        for s, e in zip(starts, ends):
+            seg_t = t[s:e]
+            prefix = np.r_[0.0, np.cumsum(v[s:e])]
+            lo = np.searchsorted(seg_t, seg_t - SLIDE_WIN, side="left")
+            hi = np.arange(1, e - s + 1)
+            cnt = hi - lo
+            out_mean[s:e] = (prefix[hi] - prefix[lo]) / cnt
+            out_n[s:e] = cnt
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "win_mean": np.round(out_mean, 6),
+                "win_n": out_n,
+            }
+        )
+
+    return _per_bucket(_events_sorted(sf_dir, ["value"]), fn)
+
+
+SLIDING_SQL = f"""
+SELECT event_id,
+       round(avg(value) OVER w, 6) AS win_mean,
+       count(*) OVER w             AS win_n
+FROM (SELECT event_id, user_id, value, epoch(ts) AS ts FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN {SLIDE_WIN} PRECEDING AND CURRENT ROW)
+"""
+
 # --- A3: order-sensitive per-group first ---
 
 
@@ -405,6 +451,7 @@ QUERIES = {
     "sessionize_user_events": sessionize_user_events,
     "first_event_per_user": first_event_per_user,
     "user_set_ops": user_set_ops,
+    "sliding_window_mean": sliding_window_mean,
     "time_since_prev_event": time_since_prev_event,
     "time_to_next_error": time_to_next_error,
     "locf_last_purchase": locf_last_purchase,
@@ -418,6 +465,7 @@ ORACLE = {
     "sessionize_user_events": SESSIONIZE_SQL,
     "first_event_per_user": FIRST_EVENT_SQL,
     "user_set_ops": SET_OPS_SQL,
+    "sliding_window_mean": SLIDING_SQL,
     "time_since_prev_event": SINCE_PREV_SQL,
     "time_to_next_error": TO_NEXT_ERROR_SQL,
     "locf_last_purchase": LOCF_SQL,
