@@ -12,13 +12,23 @@
             LOCF-with-expiration backfill of the joined score
       -> resumable partitioned sink + lineage manifest
 
+Two physical engines produce byte-identical output (tests/test_exchange.py):
+
+1. ``flagship_features`` / ``run_flagship`` — Dataset-native: tagged union of
+   (narrow features, scores) -> ``groupby(bucket).map_groups`` (Ray's
+   sort-based shuffle). The general path; handles arbitrary inputs.
+2. ``run_flagship_exchange`` — the explicit two-stage hash exchange
+   (stages/exchange.py): map tasks fuse read + stats + bucket-split, reduce
+   tasks fuse sort + scans + as-of + sink; the small scores side is
+   broadcast. The bench headline; avoids the sort-shuffle's fixed overhead.
+
 Design notes for 10^12-row scale:
 - The wide ``tokens`` column never enters the shuffle: stats are computed
   map-side over zero-copy Arrow and only the narrow feature row moves
   (SURVEY §7.5.7). The enriched wide table is written map-side, partitioned
   by input fragment, preserving the token arrays byte-identical.
-- Exactly ONE all-to-all exchange: tagged union of (narrow features, scores)
-  hash-bucketed by entity. B = ``num_buckets`` bounds per-task memory.
+- Exactly ONE all-to-all exchange: hash-bucketed by entity; B =
+  ``num_buckets`` bounds per-task memory.
 - Scans are entity-complete by construction -> no cross-batch carry state,
   retries are pure re-executions of a bucket (idempotent, manifest-gated).
 """

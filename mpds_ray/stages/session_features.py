@@ -15,6 +15,7 @@ import pandas as pd
 
 from ..functions.extractors import (
     extract_accel_features,
+    extract_audio_features,
     extract_react_features,
     extract_tap_features,
 )
@@ -29,9 +30,16 @@ EXTRACTORS = {
 def extract_session_group(g: pd.DataFrame) -> pd.DataFrame:
     """One session's samples (sorted by t) -> one feature row."""
     modality = g["modality"].iloc[0]
-    fn, cols = EXTRACTORS[modality]
-    data = g.sort_values("t")[cols].to_numpy(dtype=np.float64)
-    header, feats = fn(data)
+    if modality == "audio":
+        # waveform sessions carry (t, amp, fs): ordered samples + sample rate
+        g = g.sort_values("t")
+        header, feats = extract_audio_features(
+            g["amp"].to_numpy(dtype=np.float64), float(g["fs"].iloc[0])
+        )
+    else:
+        fn, cols = EXTRACTORS[modality]
+        data = g.sort_values("t")[cols].to_numpy(dtype=np.float64)
+        header, feats = fn(data)
     row = {"session_key": g["session_key"].iloc[0], "modality": modality}
     row.update({h: float(v) for h, v in zip(header, feats)})
     return pd.DataFrame([row])
@@ -72,6 +80,14 @@ def synth_sessions_table(n_sessions: int = 12, modality: str = "accel", seed: in
                     "y": 500 + 30 * rng.normal(size=n),
                 }
             )
+        elif modality == "audio":
+            fs = 8000.0
+            n = int(fs * rng.uniform(11, 14))
+            wav = 0.001 * rng.normal(size=n)
+            lo, hi = int(fs * 2), int(fs * 8)
+            tt = np.arange(hi - lo) / fs
+            wav[lo:hi] += 0.5 * np.sin(2 * np.pi * rng.uniform(200, 400) * tt)
+            df = pd.DataFrame({"t": np.arange(n, dtype=np.float64) / fs, "amp": wav, "fs": fs})
         else:  # react
             visible = (np.arange(n) // 10) % 2
             pressed = np.roll(visible, 3)

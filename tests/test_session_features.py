@@ -39,3 +39,13 @@ def test_deterministic_across_runs(ray_session):
     a = extract_features_ray(rd.from_pandas(samples)).to_pandas().sort_values("session_key")
     b = extract_features_ray(rd.from_pandas(samples)).to_pandas().sort_values("session_key")
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_audio_sessions_extracted(ray_session):
+    import ray.data as rd
+
+    samples = synth_sessions_table(3, modality="audio")
+    out = extract_features_ray(rd.from_pandas(samples)).to_pandas()
+    assert len(out) == 3
+    assert "pitch" in out.columns and out["pitch"].between(150, 450).all()
+    assert out["length"].between(4, 8).all()
