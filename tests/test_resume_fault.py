@@ -1,0 +1,100 @@
+"""F6 resume equivalence: a run killed mid-way resumes from the manifest and
+produces byte-identical output to a never-interrupted run; plus batch-size
+invariance of the stats stage through the Ray surface."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from mpds_ray.pipelines.flagship import run_flagship_exchange
+from mpds_ray.synth import cached_fixture_dir
+
+
+def _load_parts(out_dir: str) -> pd.DataFrame:
+    files = sorted(glob.glob(f"{out_dir}/part-*.parquet"))
+    df = pd.concat([pq.read_table(p).to_pandas() for p in files])
+    return df.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+
+
+class TestKillAndResume:
+    def test_mid_run_failure_then_resume_is_byte_identical(self, ray_session, tmp_path):
+        d = cached_fixture_dir("small")
+        clean_dir = str(tmp_path / "clean")
+        crash_dir = str(tmp_path / "crash")
+
+        # reference: uninterrupted run
+        run_flagship_exchange(
+            f"{d}/tokens.parquet", f"{d}/scores.parquet", out_dir=clean_dir, num_buckets=6
+        )
+
+        # interrupted run: monkeypatch the atomic writer to blow up on one
+        # bucket the first time through (simulates a task/node death AFTER
+        # some partitions committed)
+        import mpds_ray.pipelines.flagship as fl
+
+        orig_write = fl.write_partition_atomic
+        poison = str(tmp_path / "poison_armed")
+        open(poison, "w").write("armed")
+
+        def flaky_write(df, out_dir, pid):
+            if pid == 3 and os.path.exists(poison):
+                os.remove(poison)  # fail exactly once
+                raise RuntimeError("injected fault: partition 3 died mid-write")
+            return orig_write(df, out_dir, pid)
+
+        fl.write_partition_atomic = flaky_write
+        try:
+            with pytest.raises(Exception, match="injected fault"):
+                run_flagship_exchange(
+                    f"{d}/tokens.parquet", f"{d}/scores.parquet",
+                    out_dir=crash_dir, num_buckets=6,
+                )
+        finally:
+            fl.write_partition_atomic = orig_write
+
+        # some partitions committed, not all
+        manifest = f"{crash_dir}/manifest.jsonl"
+        assert os.path.exists(manifest)
+        n_done = sum(1 for _ in open(manifest))
+        assert 0 < n_done < 6
+
+        # resume: completed partitions are skipped, the rest are produced
+        res = run_flagship_exchange(
+            f"{d}/tokens.parquet", f"{d}/scores.parquet",
+            out_dir=crash_dir, num_buckets=6,
+        )
+        assert res["skipped"].sum() == n_done
+        pd.testing.assert_frame_equal(_load_parts(clean_dir), _load_parts(crash_dir))
+
+
+class TestBatchSizeInvariance:
+    def test_stats_stage_invariant_to_batch_size(self, ray_session):
+        import ray.data as rd
+
+        from mpds_ray.stages.window_stats import TokenWindowStats
+
+        d = cached_fixture_dir("tiny")
+        outs = []
+        for bs in (7, 64, None):
+            ds = rd.read_parquet(f"{d}/tokens.parquet").map_batches(
+                TokenWindowStats(stats=("mean", "std", "En", "mode")),
+                batch_format="pyarrow",
+                batch_size=bs,
+            )
+            outs.append(
+                ds.to_pandas().sort_values(["doc_id", "ts"]).reset_index(drop=True)
+            )
+        for other in outs[1:]:
+            np.testing.assert_allclose(
+                outs[0]["tok_En"].to_numpy(), other["tok_En"].to_numpy()
+            )
+            np.testing.assert_allclose(
+                outs[0]["tok_mode"].to_numpy(), other["tok_mode"].to_numpy()
+            )
