@@ -267,6 +267,7 @@ def run_flagship_exchange(
     num_buckets: int = 64,
     stats: tuple[str, ...] = NARROW_STATS,
     heavy: bool = False,
+    wide_out_dir: str | None = None,
 ) -> pd.DataFrame:
     """Flagship on the explicit two-stage hash exchange (stages.exchange):
     map tasks fuse read + windowed stats + bucket split; reduce tasks fuse
@@ -295,9 +296,27 @@ def run_flagship_exchange(
     stat_cols = [f"tok_{s}" for s in stats]
     narrow_cols = list(dict.fromkeys([entity, ts, "source", "n_tok"])) + stat_cols
     tw = TokenWindowStats(stats=stats)
+    if wide_out_dir is not None:
+        import os as _os
 
-    def map_fn(t: pa.Table) -> pa.Table:
-        return tw(t).select(narrow_cols)
+        _os.makedirs(wide_out_dir, exist_ok=True)
+
+    def map_fn(t: pa.Table, shard_path: str) -> pa.Table:
+        enriched = tw(t)
+        if wide_out_dir is not None:
+            # the enriched WIDE table (token arrays byte-identical + stat
+            # columns) is persisted MAP-SIDE, partitioned by input fragment —
+            # it never enters the exchange (SURVEY §7.5.7); atomic + named by
+            # the input fragment so reruns overwrite identically
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            frag = _os.path.splitext(_os.path.basename(shard_path))[0]
+            tmp = f"{wide_out_dir}/wide-{frag}.parquet.tmp.{_os.getpid()}"
+            _pq.write_table(enriched, tmp)
+            _os.replace(tmp, f"{wide_out_dir}/wide-{frag}.parquet")
+        return enriched.select(narrow_cols)
 
     done: set = set()
     manifest_file = None

@@ -60,11 +60,16 @@ def hash_exchange(
 ) -> pd.DataFrame:
     """Run the exchange; returns the concatenated reduce outputs (small)."""
 
+    import inspect
+
+    map_takes_path = len(inspect.signature(map_fn).parameters) >= 2
+
     @ray.remote(num_cpus=map_num_cpus, num_returns=num_buckets)
     def map_shard(path: str):
         import pyarrow.parquet as pq
 
-        t = map_fn(pq.read_table(path))
+        raw = pq.read_table(path)
+        t = map_fn(raw, path) if map_takes_path else map_fn(raw)
         bucket = stable_bucket(t[entity_col].to_numpy(zero_copy_only=False), num_buckets)
         parts = _split_by_bucket(t, bucket, num_buckets)
         return tuple(parts) if num_buckets > 1 else parts[0]

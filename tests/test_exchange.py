@@ -62,3 +62,33 @@ class TestExchangeFlagship:
         res = run_flagship_exchange(f"{d}/tokens.parquet", f"{d}/scores.parquet",
                                     out_dir=b, num_buckets=8)
         assert res["skipped"].all()
+
+
+class TestWideOutput:
+    def test_wide_output_token_byte_identity(self, ray_session, tmp_path):
+        import numpy as np
+
+        d = cached_fixture_dir("small")
+        wide_dir = str(tmp_path / "wide")
+        run_flagship_exchange(
+            f"{d}/tokens.parquet", f"{d}/scores.parquet",
+            out_dir=str(tmp_path / "narrow"), wide_out_dir=wide_dir, num_buckets=4,
+        )
+        files = sorted(glob.glob(f"{wide_dir}/wide-*.parquet"))
+        assert files
+        wide = pd.concat([pq.read_table(p).to_pandas() for p in files])
+        orig = pq.read_table(f"{d}/tokens.parquet").to_pandas()
+        assert len(wide) == len(orig)
+        assert "tok_mean" in wide.columns
+
+        # (doc_id, ts) can repeat -> compare canonically sorted token bytes
+        def canon(df):
+            key = df["tokens"].map(lambda v: np.asarray(v, dtype=np.int32).tobytes())
+            return (
+                df.assign(_k=key)
+                .sort_values(["doc_id", "ts", "_k"], kind="mergesort")["_k"]
+                .to_numpy()
+            )
+
+        a, b = canon(orig), canon(wide)
+        assert (a == b).all()
