@@ -59,18 +59,21 @@ class TestKillAndResume:
         finally:
             fl.write_partition_atomic = orig_write
 
-        # some partitions committed, not all
+        # NB: sibling reduce tasks may still be committing when ray.get
+        # raises, so the exact number of completed partitions at this point
+        # is racy — the invariant under test is that RESUME always converges
+        # to the complete, byte-identical output, skipping whatever already
+        # committed (manifest dedup + atomic per-partition writes make
+        # concurrent stragglers harmless: same deterministic content).
         manifest = f"{crash_dir}/manifest.jsonl"
-        assert os.path.exists(manifest)
-        n_done = sum(1 for _ in open(manifest))
-        assert 0 < n_done < 6
+        n_done = sum(1 for _ in open(manifest)) if os.path.exists(manifest) else 0
+        assert n_done < 6
 
-        # resume: completed partitions are skipped, the rest are produced
         res = run_flagship_exchange(
             f"{d}/tokens.parquet", f"{d}/scores.parquet",
             out_dir=crash_dir, num_buckets=6,
         )
-        assert res["skipped"].sum() == n_done
+        assert len(res) == 6 and res["skipped"].sum() >= n_done
         pd.testing.assert_frame_equal(_load_parts(clean_dir), _load_parts(crash_dir))
 
 
