@@ -89,8 +89,8 @@ WITH e AS (
                  THEN 1 ELSE 0 END AS brk
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
   FROM m
 )
 SELECT user_id, session_seq, count(*) AS n_events,

@@ -41,6 +41,16 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if gc != wc:
         problems.append(f"columns {gc} != {wc}")
         return problems
+    # the driver's value-hash is dtype-exact: an int64 engine column vs a
+    # float64 oracle column (e.g. HUGEINT window sums -> .df() float) is a
+    # hash mismatch even when every value is equal. Catch that here.
+    for c in gc:
+        gk = "f" if pd.api.types.is_float_dtype(got[c]) else (
+            "i" if pd.api.types.is_integer_dtype(got[c]) else "o")
+        wk = "f" if pd.api.types.is_float_dtype(want[c]) else (
+            "i" if pd.api.types.is_integer_dtype(want[c]) else "o")
+        if gk != wk:
+            problems.append(f"col {c}: dtype kind {got[c].dtype} != {want[c].dtype}")
     g, w = canon(got), canon(want)
     if len(g) == len(w):
         for c in g.columns:
