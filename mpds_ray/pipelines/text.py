@@ -179,6 +179,31 @@ def lang_id(sf_dir: str):
     return docs.map_batches(LangId, batch_format="pandas", concurrency=2)
 
 
+def _lang_count_expr(words: tuple[str, ...]) -> str:
+    return f"len(list_filter(string_split(text, ' '), w -> w IN {words!r}))"
+
+
+# CASE chain replicates LangId's tie-break max(score, lang): on equal scores
+# the lexicographically LARGEST language wins (fr > es > en > de).
+LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_lang_count_expr(LangId.PROFILES["en"])} AS s_en,
+         {_lang_count_expr(LangId.PROFILES["de"])} AS s_de,
+         {_lang_count_expr(LangId.PROFILES["fr"])} AS s_fr,
+         {_lang_count_expr(LangId.PROFILES["es"])} AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
 # --- SimHash (64-bit) over tokens — deterministic sketch (rows-only) ---
 
 
@@ -326,6 +351,30 @@ def ngram_jaccard_vs_doc0(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+# Oracle computes Jaccard over DISTINCT token-trigram strings; the engine
+# computes it over distinct splitmix64-hashed trigrams. Equal unless the
+# 64-bit hash collides within the involved shingle sets (P ~ 1e-10 at this
+# corpus size) — the hash is a set-preserving relabeling of the trigrams.
+NGRAM_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - 1),
+             i -> concat(tokens[i], '_', tokens[i + 1], '_', tokens[i + 2]))) AS shingles
+  FROM tok
+), ref AS (
+  SELECT shingles AS r FROM sh WHERE doc_id = 0
+)
+SELECT doc_id,
+       round(CASE WHEN len(list_intersect(shingles, r)) = 0 THEN 0.0
+                  ELSE len(list_intersect(shingles, r)) * 1.0
+                       / (len(shingles) + len(r) - len(list_intersect(shingles, r)))
+             END, 6) AS jaccard_vs_doc0
+FROM sh, ref
+"""
+
+
 def read_small_doc0(sf_dir: str) -> pd.DataFrame:
     import duckdb
 
@@ -370,4 +419,6 @@ ORACLE = {
     "token_counts": TOKEN_COUNT_SQL,
     "quality_scores": QUALITY_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "ngram_jaccard_vs_doc0": NGRAM_JACCARD_SQL,
 }
