@@ -39,3 +39,32 @@ def test_no_dups_in_random_corpus(ray_session, sf_dir):
     out = embedding_near_dups(sf_dir, threshold=0.99)
     assert isinstance(out, pd.DataFrame)
     assert len(out) == 0  # random embeddings share no 0.99-cosine pairs
+
+
+def test_lsh_recall_vs_exact(ray_session, tmp_path):
+    """The LSH scale path finds every planted high-cosine pair the exact
+    block-pair baseline finds (recall 1.0 at 0.95 with 8x8-bit tables), and
+    reports identical cos_sim values for them."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 64)).astype(np.float32)
+    dups = [base[i] + 0.02 * rng.normal(size=64).astype(np.float32) for i in (0, 3, 11, 40)]
+    m = np.vstack([base] + dups)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in m], type=pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(m), dtype=np.int32)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    from mpds_ray.pipelines.knn import embedding_near_dups, embedding_near_dups_lsh
+
+    exact = embedding_near_dups(str(tmp_path), threshold=0.95)
+    lsh = embedding_near_dups_lsh(str(tmp_path), threshold=0.95)
+    exact_pairs = dict(zip(zip(exact["vec_a"], exact["vec_b"]), exact["cos_sim"]))
+    lsh_pairs = dict(zip(zip(lsh["vec_a"], lsh["vec_b"]), lsh["cos_sim"]))
+    assert len(exact_pairs) == 4
+    assert lsh_pairs == exact_pairs  # full recall AND identical verified sims
+
+
