@@ -134,3 +134,76 @@ class TestMultimodal:
         out = FrameSampler(n_frames=3)(b)
         assert len(out) == 18
         assert out.groupby("media_id")["frame_idx"].nunique().eq(3).all()
+
+
+class TestSegmentVectorizedParity:
+    """The segment-vectorized text kernels must equal the scalar references
+    doc-for-doc, including short-doc (<3 tokens) and empty-doc edges."""
+
+    def _docs(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        docs = [rng.integers(0, 50257, rng.integers(3, 40)).astype(np.int64)
+                for _ in range(30)]
+        docs += [np.array([5], dtype=np.int64), np.array([7, 9], dtype=np.int64),
+                 np.array([], dtype=np.int64)]
+        return docs
+
+    def _flat(self, docs):
+        import numpy as np
+
+        flat = np.concatenate([d for d in docs]).astype(np.uint64) if docs else np.array([], dtype=np.uint64)
+        offs = np.r_[0, np.cumsum([len(d) for d in docs])].astype(np.int64)
+        return flat, offs
+
+    def test_shingles_flat_matches_scalar(self):
+        import numpy as np
+
+        from mpds_ray.pipelines.text import _shingles, _shingles_flat, _unique_per_segment
+
+        docs = self._docs()
+        flat, offs = self._flat(docs)
+        sh, sh_offs = _shingles_flat(flat, offs)
+        u, seg, n_uniq = _unique_per_segment(sh, sh_offs)
+        per_doc = np.split(u, np.cumsum(n_uniq)[:-1])
+        for d, got in zip(docs, per_doc):
+            want = np.unique(_shingles(d))  # scalar ref (uniqued for parity)
+            assert np.array_equal(np.sort(got), want), d
+
+    def test_simhash_flat_matches_scalar(self):
+        import numpy as np
+
+        from mpds_ray.pipelines.text import simhash_batch, simhash_flat
+
+        docs = [d for d in self._docs() if len(d)]
+        flat, offs = self._flat(docs)
+        got = simhash_flat(flat, offs)
+        want = simhash_batch([d for d in docs])
+        assert np.array_equal(got, want)
+
+    def test_minhash_signature_vector_parity(self):
+        """The banded sig path inside sig_batch equals per-doc minhash_signature."""
+        import numpy as np
+
+        from mpds_ray.pipelines.text import (
+            N_HASHES,
+            _segment_reduceat,
+            _shingles,
+            _shingles_flat,
+            _splitmix64,
+            minhash_signature,
+        )
+
+        seeds = _splitmix64(np.arange(1, N_HASHES + 1, dtype=np.uint64) * np.uint64(0x9E3779B9))
+        docs = self._docs()
+        flat, offs = self._flat(docs)
+        sh, sh_offs = _shingles_flat(flat, offs)
+        sig = np.empty((N_HASHES, len(docs)), dtype=np.uint64)
+        for s_i in range(N_HASHES):
+            sig[s_i] = _segment_reduceat(
+                np.minimum, _splitmix64(sh ^ seeds[s_i]), sh_offs, np.iinfo(np.uint64).max
+            )
+        for i, d in enumerate(docs):
+            want = minhash_signature(_shingles(d), seeds)
+            assert np.array_equal(sig[:, i], want), i
