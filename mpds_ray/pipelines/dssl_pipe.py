@@ -28,11 +28,42 @@ from .eventspipe import _events_sorted, _per_bucket
 FEATURES = ["value", "secs_since_prev", "cum_value", "hour_of_day"]
 
 
-def build_design_matrix(sf_dir: str) -> pd.DataFrame:
+TRAIN_ROW_CAP = 500_000
+
+
+def build_design_matrix(sf_dir: str, row_cap: int = TRAIN_ROW_CAP) -> pd.DataFrame:
     """Distributed feature build (the scans run per bucket), collected as the
-    design matrix — mirrors the notebook's dataset.csv load (cells 2-16)."""
+    TRAINING design matrix — mirrors the notebook's dataset.csv load (cells
+    2-16). SURVEY L1 licenses training on a collected SAMPLE: when the events
+    table exceeds ``row_cap`` rows (parquet metadata, no scan), a
+    deterministic user-hash slice is taken so the collect stays bounded and
+    seed-stable; scoring remains fully distributed (the tested Scorer actor).
+    At driver/test scale every row survives, so outputs are reproducible."""
+    import pyarrow.parquet as pq
+
+    from .common import tpath
+
+    n_rows = pq.read_metadata(tpath(sf_dir, "events")).num_rows
+    mod = max(1, int(np.ceil(n_rows / row_cap)))
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if mod > 1:
+            u = g["user_id"].to_numpy().astype(np.uint64)
+            u = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            g = g[(u % np.uint64(mod)) == 0]
+            if not len(g):
+                return pd.DataFrame(
+                    {
+                        "user_id": pd.Series([], dtype="int64"),
+                        "ts": pd.Series([], dtype="float64"),
+                        "event_id": pd.Series([], dtype="int64"),
+                        "is_purchase": pd.Series([], dtype="int64"),
+                        "value": pd.Series([], dtype="float64"),
+                        "secs_since_prev": pd.Series([], dtype="float64"),
+                        "cum_value": pd.Series([], dtype="float64"),
+                        "hour_of_day": pd.Series([], dtype="float64"),
+                    }
+                )
         ids = g["user_id"].to_numpy()
         t = g["ts"].to_numpy()
         lag = time_since_to_event(ids, t, np.ones(len(g), dtype=np.int64))

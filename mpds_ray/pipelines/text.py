@@ -22,23 +22,39 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 # --- exact dedup (D1): first doc per identical text ---
 
 
-def dedup_exact(sf_dir: str):
-    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+def dedup_exact(sf_dir: str, num_buckets: int = 8):
+    """Exact dedup over the engine's explicit hash exchange: map tasks hash
+    the text per shard (only the 64-bit content hash is shuffled, never the
+    payload), reduce tasks take per-hash (min doc_id, count). The r1 Dataset
+    ``groupby`` version paid the sort-shuffle's fixed ~3-4 s twice (groupby +
+    trailing global sort) to produce 500 rows — VERDICT 'Next round' #5."""
+    import glob
+    import os
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        # shuffle the (cheap) content hash, not the text payload
-        h = pd.util.hash_pandas_object(b["text"], index=False).astype("uint64")
-        return pd.DataFrame({"text_hash": h.astype("int64"), "doc_id": b["doc_id"]})
+    from ..stages.exchange import hash_exchange
+    from .common import tpath
 
-    from ray.data.aggregate import Count, Min
+    path = tpath(sf_dir, "documents")
+    shards = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
 
-    return (
-        docs.map_batches(prep, batch_format="pandas")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
-        .drop_columns(["text_hash"])
-        .sort("keep_doc_id")
+    def map_fn(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t["text"].to_pandas(), index=False).astype("uint64")
+        return pa.table(
+            {"text_hash": pa.array(h.astype("int64")), "doc_id": t["doc_id"]}
+        )
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        g = (
+            tbl.to_pandas()
+            .groupby("text_hash", sort=False)
+            .agg(keep_doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        )
+        return g.reset_index(drop=True)
+
+    out = hash_exchange(
+        shards, map_fn, "text_hash", num_buckets, reduce_fn, columns=["doc_id", "text"]
     )
+    return out.sort_values("keep_doc_id").reset_index(drop=True)
 
 
 DEDUP_SQL = """

@@ -57,8 +57,10 @@ def hash_exchange(
     reduce_fn: Callable[[int, pa.Table], pd.DataFrame],
     map_num_cpus: float = 1.0,
     reduce_num_cpus: float = 1.0,
+    columns: list[str] | None = None,
 ) -> pd.DataFrame:
-    """Run the exchange; returns the concatenated reduce outputs (small)."""
+    """Run the exchange; returns the concatenated reduce outputs (small).
+    ``columns`` prunes the shard read (only those columns leave storage)."""
 
     import inspect
 
@@ -68,7 +70,7 @@ def hash_exchange(
     def map_shard(path: str):
         import pyarrow.parquet as pq
 
-        raw = pq.read_table(path)
+        raw = pq.read_table(path, columns=columns)
         t = map_fn(raw, path) if map_takes_path else map_fn(raw)
         bucket = stable_bucket(t[entity_col].to_numpy(zero_copy_only=False), num_buckets)
         parts = _split_by_bucket(t, bucket, num_buckets)

@@ -13,28 +13,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-
-def _collect_columns(ds, cols: list[str]) -> dict[str, np.ndarray]:
-    out = {c: [] for c in cols}
-    for b in ds.iter_batches(batch_size=1 << 20, batch_format="pandas"):
-        for c in cols:
-            out[c].append(b[c].to_numpy(dtype=np.float64, na_value=np.nan))
-    return {c: np.concatenate(v) if v else np.empty(0) for c, v in out.items()}
+from .sketch import column_moments, column_quantiles
 
 
 def fit_robust_scaler(ds, cols: list[str], quantile_range=(25.0, 75.0)) -> dict:
-    """Pass 1: per-column median + quantile range. Exact at test scale via a
-    single collected column pass; the contract (linear-interpolated
-    quantiles) is what a t-digest replaces at 10^12 rows."""
-    data = _collect_columns(ds, cols)
+    """Pass 1: per-column median + quantile range via the mergeable quantile
+    summary (stages/sketch.py) — exact (bit-identical to np.percentile) while
+    batches fit RAW_LIMIT, bounded-error weighted sketch beyond. The raw
+    column is never collected on the driver."""
     lo, hi = quantile_range
+    q = column_quantiles(ds, cols, [0.5, lo / 100.0, hi / 100.0])
     params = {}
-    for c, v in data.items():
-        v = v[~np.isnan(v)]
-        med = float(np.percentile(v, 50.0))
-        qlo, qhi = np.percentile(v, [lo, hi])
+    for c, (med, qlo, qhi) in ((c, q[c]) for c in cols):
         scale = float(qhi - qlo)
-        params[c] = {"center": med, "scale": scale if scale != 0 else 1.0}
+        params[c] = {"center": float(med), "scale": scale if scale != 0 else 1.0}
     return params
 
 
@@ -54,13 +46,13 @@ def mpds_rescale(z: np.ndarray) -> np.ndarray:
 
 def fit_center_rescale(ds, cols: list[str]) -> dict:
     """M6 (mimicUsefulFunction.R:122-149): per-column mean and 1/range with
-    zero-range guard (scale 1 when max==min)."""
-    data = _collect_columns(ds, cols)
+    zero-range guard (scale 1 when max==min). Exact mergeable moments — one
+    map pass of (sum, n, min, max) partials."""
+    m = column_moments(ds, cols)
     params = {}
-    for c, v in data.items():
-        v = v[~np.isnan(v)]
-        rng = float(v.max() - v.min()) if v.size else 1.0
-        params[c] = {"center": float(v.mean()) if v.size else 0.0,
+    for c in cols:
+        rng = float(m[c]["max"] - m[c]["min"]) if m[c]["n"] else 1.0
+        params[c] = {"center": m[c]["mean"] if m[c]["n"] else 0.0,
                      "scale": rng if rng != 0 else 1.0}
     return params
 
@@ -68,12 +60,10 @@ def fit_center_rescale(ds, cols: list[str]) -> dict:
 def fit_median_impute(ds, cols: list[str], overrides: dict[str, float] | None = None) -> dict:
     """M7 (mimicUsefulFunction.R:583-628): population median per column with
     manual clinical overrides; NaN medians (all-null column) are a hard error
-    like the reference's NA-in-defaults stop (:623-625)."""
-    data = _collect_columns(ds, cols)
-    defaults = {}
-    for c, v in data.items():
-        v = v[~np.isnan(v)]
-        defaults[c] = float(np.median(v)) if v.size else float("nan")
+    like the reference's NA-in-defaults stop (:623-625). Median via the
+    mergeable quantile summary."""
+    q = column_quantiles(ds, cols, [0.5])
+    defaults = {c: float(q[c][0]) for c in cols}
     defaults.update(overrides or {})
     bad = [c for c, d in defaults.items() if np.isnan(d)]
     if bad:

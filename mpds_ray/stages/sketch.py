@@ -1,0 +1,123 @@
+"""Mergeable quantile / moment summaries (VERDICT 'What's missing' #3).
+
+Every global-statistic fit in the engine (RobustScaler quantiles, median
+imputation, global percentiles — notebook cell 28, dssFunctionLibrary.R:1581)
+routes through here instead of collecting the raw column on the driver:
+
+    map_batches -> per-batch summary rows (col, value, weight)
+                   * small batches pass raw values through (weight 1)
+                   * batches above RAW_LIMIT compress to K weighted order
+                     statistics (rank error <= n_batch / (2K) per batch,
+                     <= N/(2K) after merge => quantile error <= 1/(2K))
+    driver     -> concat (bounded by K x n_batches), weighted interpolation
+
+The EXACT path is preserved by construction: when every batch stays under
+RAW_LIMIT the merged summary is the full multiset with unit weights, and the
+weighted interpolation below reduces bit-for-bit to NumPy's linear-interp
+``np.percentile`` (= DuckDB ``quantile_cont``), which the sf0.01 oracle gate
+requires. The sketch path's error bound is pytest-checked on a 4M-row column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+RAW_LIMIT = 1 << 18  # per-batch raw passthrough threshold (rows)
+K = 4096  # compressed points per over-limit batch
+
+
+def batch_quantile_summary(v: np.ndarray, raw_limit: int = RAW_LIMIT, k: int = K):
+    """One batch's (values, weights) summary for a numeric column."""
+    v = np.asarray(v, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if v.size <= raw_limit:
+        return v, np.ones(v.size)
+    s = np.sort(v)
+    pos = ((np.arange(k) + 0.5) * v.size / k).astype(np.int64)
+    return s[pos], np.full(k, v.size / k)
+
+
+def weighted_quantiles(values: np.ndarray, weights: np.ndarray, qs) -> np.ndarray:
+    """Linear-interpolated quantiles of a weighted multiset. With unit
+    weights this is exactly ``np.percentile(values, 100*q)`` (type-7)."""
+    qs = np.asarray(list(qs), dtype=np.float64)
+    if weights.size and np.all(weights == 1.0):
+        # exact path: defer to np.percentile itself so the result is
+        # bit-identical to the single-machine fit (lerp rounding included)
+        return np.percentile(values, qs * 100.0)
+    order = np.argsort(values, kind="mergesort")
+    v, w = values[order], weights[order]
+    cw = np.cumsum(w)
+    total = cw[-1] if cw.size else 0.0
+    if not cw.size:
+        return np.full(len(list(qs)), np.nan)
+    pos = cw - 1.0  # unit weights -> 0..n-1, matching np.percentile's grid
+    targets = qs * (total - 1.0)
+    return np.interp(targets, pos, v)
+
+
+def quantile_summary_stage(ds, cols: list[str], raw_limit: int = RAW_LIMIT, k: int = K):
+    """Dataset -> per-batch summary rows ``(col, value, weight)``."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            x = b[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            x = x[~np.isnan(x)]
+            val, wt = batch_quantile_summary(x, raw_limit, k)
+            frames.append(pd.DataFrame({"col": c, "value": val, "weight": wt}))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(partial, batch_format="pandas", batch_size=max(raw_limit, 1024))
+
+
+def column_quantiles(
+    ds, cols: list[str], qs, raw_limit: int = RAW_LIMIT, k: int = K
+) -> dict[str, np.ndarray]:
+    """Global per-column quantiles via the mergeable summary (exact under
+    RAW_LIMIT-sized inputs, sketch with 1/(2K) rank error beyond)."""
+    parts = quantile_summary_stage(ds, cols, raw_limit, k).to_pandas()
+    if "col" not in parts.columns:  # every batch empty after NaN drop
+        parts = pd.DataFrame({"col": [], "value": [], "weight": []})
+    out = {}
+    for c in cols:
+        sub = parts[parts["col"] == c]
+        out[c] = weighted_quantiles(
+            sub["value"].to_numpy(), sub["weight"].to_numpy(), qs
+        )
+    return out
+
+
+def column_moments(ds, cols: list[str]) -> dict[str, dict]:
+    """Exact mergeable (mean, min, max, count) per column — one map pass of
+    4-scalar partials, folded on the driver."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            x = b[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            x = x[~np.isnan(x)]
+            rows.append(
+                {
+                    "col": c,
+                    "sum": x.sum() if x.size else 0.0,
+                    "n": x.size,
+                    "min": x.min() if x.size else np.inf,
+                    "max": x.max() if x.size else -np.inf,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = {}
+    for c in cols:
+        sub = parts[parts["col"] == c]
+        n = int(sub["n"].sum())
+        out[c] = {
+            "mean": float(sub["sum"].sum() / n) if n else 0.0,
+            "min": float(sub["min"].min()) if n else np.nan,
+            "max": float(sub["max"].max()) if n else np.nan,
+            "n": n,
+        }
+    return out

@@ -1,0 +1,78 @@
+"""Mergeable quantile summary (stages/sketch.py): exact-path bit parity with
+np.percentile, sketch-path rank-error bound, and moment merging."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mpds_ray.stages.sketch import (
+    batch_quantile_summary,
+    column_moments,
+    column_quantiles,
+    weighted_quantiles,
+)
+
+
+class TestWeightedQuantiles:
+    def test_unit_weights_bit_equal_to_percentile(self):
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=10_001)
+        got = weighted_quantiles(v, np.ones(v.size), [0.1, 0.5, 0.9, 0.15, 0.85])
+        want = np.percentile(v, [10, 50, 90, 15, 85])
+        np.testing.assert_array_equal(got, want)  # bitwise, not approx
+
+    def test_empty_is_nan(self):
+        out = weighted_quantiles(np.empty(0), np.empty(0), [0.5])
+        assert np.isnan(out).all()
+
+    def test_compressed_batch_rank_error(self):
+        rng = np.random.default_rng(1)
+        v = rng.lognormal(size=200_000)
+        val, wt = batch_quantile_summary(v, raw_limit=1000, k=2048)
+        assert val.size == 2048 and wt.sum() == pytest.approx(v.size)
+        for q in (0.05, 0.5, 0.95):
+            est = weighted_quantiles(val, wt, [q])[0]
+            # rank of the estimate in the true data within 1/(2K) + slack
+            rank = np.searchsorted(np.sort(v), est) / v.size
+            assert abs(rank - q) < 1.5 / 2048
+
+
+class TestDistributedQuantiles:
+    def test_exact_path_matches_percentile(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(2)
+        v = rng.normal(size=50_000)
+        ds = rd.from_pandas(pd.DataFrame({"x": v}))
+        got = column_quantiles(ds, ["x"], [0.5, 0.9])["x"]
+        np.testing.assert_array_equal(got, np.percentile(v, [50, 90]))
+
+    def test_sketch_path_error_bound(self, ray_session):
+        """Force the sketch path (tiny raw_limit) on a 1M-row skewed column:
+        the merged estimate must be within ~1/(2K) rank error of exact."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        v = rng.lognormal(sigma=2.0, size=1_000_000)
+        ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+        got = column_quantiles(ds, ["x"], [0.5, 0.9, 0.99], raw_limit=10_000, k=2048)["x"]
+        sv = np.sort(v)
+        for q, est in zip((0.5, 0.9, 0.99), got):
+            rank = np.searchsorted(sv, est) / v.size
+            assert abs(rank - q) < 3.0 / 2048, (q, est, rank)
+
+    def test_moments_merge_exact(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame({"a": rng.normal(size=30_000), "b": rng.uniform(size=30_000)})
+        df.loc[5::7, "a"] = np.nan
+        ds = rd.from_pandas(df).repartition(6)
+        m = column_moments(ds, ["a", "b"])
+        a = df["a"].dropna().to_numpy()
+        assert m["a"]["n"] == a.size
+        assert m["a"]["min"] == a.min() and m["a"]["max"] == a.max()
+        assert m["a"]["mean"] == pytest.approx(a.mean(), rel=1e-12)
+        assert m["b"]["n"] == len(df)
