@@ -255,6 +255,61 @@ def run_flagship(
     )
 
 
+def detect_salt_spec(
+    shards: list[str],
+    entity: str,
+    ts: str,
+    num_buckets: int,
+    threshold: float = 0.2,
+    max_salts: int = 32,
+) -> tuple[dict, int]:
+    """Heavy-hitter pre-pass (SURVEY §4.2): distributed per-shard entity
+    counts (entity column only leaves storage) find keys holding more than
+    ``threshold`` of all rows; a second pruned pass collects a strided ts
+    sample per hot key to place S-1 range boundaries at ts quantiles.
+    Returns ({entity_value: (offset, boundaries)}, total_extra_buckets).
+    Deterministic: counts and strided samples depend only on the data."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    @ray.remote
+    def shard_counts(path: str) -> pd.Series:
+        t = _pq.read_table(path, columns=[entity])
+        return pd.Series(t[entity].to_numpy(zero_copy_only=False)).value_counts()
+
+    vcs = ray.get([shard_counts.remote(p) for p in shards])
+    tot = pd.concat(vcs).groupby(level=0).sum()
+    total = int(tot.sum())
+    heavy = tot[tot / max(total, 1) > threshold]
+    if heavy.empty:
+        return {}, 0
+
+    keys = list(heavy.index)
+
+    @ray.remote
+    def shard_ts_sample(path: str) -> dict:
+        t = _pq.read_table(path, columns=[entity, ts])
+        ent = t[entity].to_numpy(zero_copy_only=False)
+        tsv = t[ts].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = {}
+        for k in keys:
+            v = tsv[ent == k]
+            out[k] = v[:: max(1, v.size // 4096)] if v.size else v
+        return out
+
+    samples = ray.get([shard_ts_sample.remote(p) for p in shards])
+    spec: dict = {}
+    off = 0
+    for k in keys:
+        share = float(tot[k]) / max(total, 1)
+        n_salts = int(max(2, min(max_salts, np.ceil(share * num_buckets))))
+        sample = np.sort(np.concatenate([s[k] for s in samples]))
+        bounds = np.unique(np.quantile(sample, np.linspace(0, 1, n_salts + 1)[1:-1]))
+        spec[k] = (off, bounds)
+        off += bounds.size + 1
+    return spec, off
+
+
 def run_flagship_exchange(
     tokens_dir: str,
     scores_path: str,
@@ -268,6 +323,8 @@ def run_flagship_exchange(
     stats: tuple[str, ...] = NARROW_STATS,
     heavy: bool = False,
     wide_out_dir: str | None = None,
+    salt: bool = True,
+    salt_threshold: float = 0.2,
 ) -> pd.DataFrame:
     """Flagship on the explicit two-stage hash exchange (stages.exchange):
     map tasks fuse read + windowed stats + bucket split; reduce tasks fuse
@@ -324,16 +381,9 @@ def run_flagship_exchange(
         manifest_file = manifest_path or f"{out_dir}/manifest.jsonl"
         done = Manifest(manifest_file).completed("flagship")
 
-    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+    def sink_partition(feats: pd.DataFrame, b: int) -> pd.DataFrame:
         import time as _time
 
-        left = tbl.to_pandas()
-        scores = ray.get(scores_ref)
-        sbuck = stable_bucket(scores[entity].to_numpy(), num_buckets)
-        right = scores[sbuck == b]
-        feats = process_bucket(
-            left, right, entity, ts, session_gap, tolerance, stat_cols, bucket_id=b
-        )
         if out_dir is None:
             return feats
         if b in done:
@@ -346,4 +396,144 @@ def run_flagship_exchange(
         )
         return pd.DataFrame({"partition_id": [b], "rows": [len(body)], "skipped": [False]})
 
-    return hash_exchange(shards, map_fn, entity, num_buckets, reduce_fn)
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        left = tbl.to_pandas()
+        scores = ray.get(scores_ref)
+        sbuck = stable_bucket(scores[entity].to_numpy(), num_buckets)
+        right = scores[sbuck == b]
+        feats = process_bucket(
+            left, right, entity, ts, session_gap, tolerance, stat_cols, bucket_id=b
+        )
+        return sink_partition(feats, b)
+
+    spec: dict = {}
+    n_extra = 0
+    if salt:
+        spec, n_extra = detect_salt_spec(
+            shards, entity, ts, num_buckets, threshold=salt_threshold
+        )
+    if not spec:
+        return hash_exchange(shards, map_fn, entity, num_buckets, reduce_fn)
+    return _run_salted_exchange(
+        shards, map_fn, reduce_fn, sink_partition, scores_ref, spec, n_extra,
+        entity, ts, session_gap, tolerance, stat_cols, num_buckets,
+    )
+
+
+def _run_salted_exchange(
+    shards: list[str],
+    map_fn,
+    reduce_fn,
+    sink_partition,
+    scores_ref,
+    spec: dict,
+    n_extra: int,
+    entity: str,
+    ts: str,
+    session_gap: float,
+    tolerance: float | None,
+    stat_cols: list[str],
+    num_buckets: int,
+) -> pd.DataFrame:
+    """The salted exchange (SURVEY §4.2, VERDICT 'What's missing' #2):
+
+    - map side: hot-entity rows route to ``num_buckets + offset + ts_chunk``
+      (contiguous ts ranges from the pre-pass boundaries); everything else
+      hashes as usual. Ties in ts cannot straddle chunks (value-based
+      searchsorted), so per-chunk stable sorts reproduce the unsalted order.
+    - salted reduce: phase 1 runs ``process_bucket`` per chunk in PARALLEL
+      (the expensive scans); a sequential chain of cheap carry tasks threads
+      exact O(1) boundary state (session offsets, lag/cummax/locf carries,
+      and the bit-exact sequential cum-area for twmean); parallel fix tasks
+      apply the carries and sink. Output is byte-identical to the unsalted
+      path (tests/test_salted.py), while no task scans more than ~1/S of the
+      hot entity.
+    """
+    import ray
+
+    from ..stages.exchange import exchange_map
+    from ..stages.salted import flagship_apply_carry, flagship_chunk_carry
+
+    total_buckets = num_buckets + n_extra
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        vals = t[entity].to_numpy(zero_copy_only=False)
+        bucket = stable_bucket(vals, num_buckets)
+        tsv = t[ts].to_numpy(zero_copy_only=False).astype(np.float64)
+        for e, (off, bounds) in spec.items():
+            m = vals == e
+            if m.any():
+                bucket[m] = (
+                    num_buckets + off + np.searchsorted(bounds, tsv[m], side="right")
+                ).astype(bucket.dtype)
+        return bucket
+
+    refs = exchange_map(shards, map_fn, bucket_fn, total_buckets)
+
+    @ray.remote
+    def reduce_unsalted(b: int, *parts: pa.Table):
+        nonempty = [p for p in parts if p.num_rows]
+        if not nonempty:
+            return pd.DataFrame()
+        return reduce_fn(b, pa.concat_tables(nonempty))
+
+    @ray.remote
+    def phase1_chunk(b: int, e, *parts: pa.Table) -> pd.DataFrame:
+        nonempty = [p for p in parts if p.num_rows]
+        if not nonempty:
+            return pd.DataFrame()
+        left = pa.concat_tables(nonempty).to_pandas()
+        scores = ray.get(scores_ref)
+        right = scores[scores[entity].to_numpy() == e]
+        return process_bucket(
+            left, right, entity, ts, session_gap, tolerance, stat_cols, bucket_id=b
+        )
+
+    @ray.remote
+    def head_info(feats: pd.DataFrame):
+        if not len(feats):
+            return None
+        t = feats[ts].to_numpy().astype(np.float64)
+        return float(t[0]), float(t[-1]), len(feats)
+
+    @ray.remote
+    def carry_task(carry, feats: pd.DataFrame):
+        return flagship_chunk_carry(carry, feats, ts, stat_cols[0], session_gap)
+
+    @ray.remote
+    def fix_task(feats: pd.DataFrame, carry, next_first_ts, b: int):
+        fixed = flagship_apply_carry(
+            feats, carry, next_first_ts, ts, stat_cols[0], session_gap
+        )
+        if fixed is None or not len(fixed):
+            return pd.DataFrame()
+        return sink_partition(fixed, b)
+
+    out_refs = [
+        reduce_unsalted.remote(b, *[refs[s][b] for s in range(len(shards))])
+        for b in range(num_buckets)
+    ]
+    for e, (off, bounds) in spec.items():
+        chunk_buckets = [num_buckets + off + c for c in range(bounds.size + 1)]
+        feats = [
+            phase1_chunk.remote(b, e, *[refs[s][b] for s in range(len(shards))])
+            for b in chunk_buckets
+        ]
+        heads = ray.get([head_info.remote(f) for f in feats])
+        # sequential carry chain over chunks (cheap O(chunk) passes); fixes
+        # launch as soon as their carry-in object is ready
+        carry = None
+        carries = [None] * len(feats)
+        for k in range(len(feats)):
+            carries[k] = carry  # carry-IN for chunk k
+            carry = carry_task.remote(carry, feats[k])
+        next_first = [None] * len(feats)
+        for k in range(len(feats)):
+            nxt = next((heads[j][0] for j in range(k + 1, len(feats)) if heads[j]), None)
+            next_first[k] = nxt
+        out_refs += [
+            fix_task.remote(feats[k], carries[k], next_first[k], chunk_buckets[k])
+            for k in range(len(feats))
+        ]
+    frames = [f for f in ray.get(out_refs) if len(f)]
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()

@@ -139,18 +139,6 @@ def asof_join_pandas(
     )
 
 
-def add_hash_bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic entity->bucket assignment (stable across runs/processes):
-    FNV-1a over the textual key — NOT Python hash() (salted per process)."""
-    out = np.empty(len(ids), dtype=np.int32)
-    for i, v in enumerate(np.asarray(ids)):
-        h = np.uint64(14695981039346656037)
-        for b in str(v).encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = int(h) % num_buckets
-    return out
-
-
 def stable_bucket_series(ids: pd.Series, num_buckets: int) -> np.ndarray:
     """Vectorized stable bucketing via pandas string hashing."""
     key = pd.util.hash_pandas_object(pd.Series(np.asarray(ids)), index=False)

@@ -49,6 +49,40 @@ def _split_by_bucket(table: pa.Table, bucket: np.ndarray, num_buckets: int) -> l
     ]
 
 
+def exchange_map(
+    shard_paths: list[str],
+    map_fn: Callable[[pa.Table], pa.Table],
+    bucket_fn: Callable[[pa.Table], np.ndarray],
+    num_buckets: int,
+    map_num_cpus: float = 1.0,
+    columns: list[str] | None = None,
+) -> list[list["ray.ObjectRef"]]:
+    """Map phase only: one task per shard, ``bucket_fn`` assigns each row a
+    bucket in [0, num_buckets); returns ``refs[s][b]`` = the slice of shard s
+    destined for bucket b (each its own object — fetched only by its
+    consumer). Callers drive the reduce side (the flagship's salted path
+    needs a carry/fix protocol rather than a flat reduce)."""
+
+    import inspect
+
+    map_takes_path = len(inspect.signature(map_fn).parameters) >= 2
+
+    @ray.remote(num_cpus=map_num_cpus, num_returns=num_buckets)
+    def map_shard(path: str):
+        import pyarrow.parquet as pq
+
+        raw = pq.read_table(path, columns=columns)
+        t = map_fn(raw, path) if map_takes_path else map_fn(raw)
+        bucket = bucket_fn(t)
+        parts = _split_by_bucket(t, bucket, num_buckets)
+        return tuple(parts) if num_buckets > 1 else parts[0]
+
+    refs = [map_shard.remote(p) for p in shard_paths]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    return refs
+
+
 def hash_exchange(
     shard_paths: list[str],
     map_fn: Callable[[pa.Table], pa.Table],
@@ -62,19 +96,10 @@ def hash_exchange(
     """Run the exchange; returns the concatenated reduce outputs (small).
     ``columns`` prunes the shard read (only those columns leave storage)."""
 
-    import inspect
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        return stable_bucket(t[entity_col].to_numpy(zero_copy_only=False), num_buckets)
 
-    map_takes_path = len(inspect.signature(map_fn).parameters) >= 2
-
-    @ray.remote(num_cpus=map_num_cpus, num_returns=num_buckets)
-    def map_shard(path: str):
-        import pyarrow.parquet as pq
-
-        raw = pq.read_table(path, columns=columns)
-        t = map_fn(raw, path) if map_takes_path else map_fn(raw)
-        bucket = stable_bucket(t[entity_col].to_numpy(zero_copy_only=False), num_buckets)
-        parts = _split_by_bucket(t, bucket, num_buckets)
-        return tuple(parts) if num_buckets > 1 else parts[0]
+    refs = exchange_map(shard_paths, map_fn, bucket_fn, num_buckets, map_num_cpus, columns)
 
     @ray.remote(num_cpus=reduce_num_cpus)
     def reduce_bucket(b: int, *parts: pa.Table):
@@ -83,10 +108,6 @@ def hash_exchange(
             return pd.DataFrame()
         return reduce_fn(b, pa.concat_tables(nonempty))
 
-    # refs[s][b] = slice of shard s destined for bucket b
-    refs = [map_shard.remote(p) for p in shard_paths]
-    if num_buckets == 1:
-        refs = [[r] for r in refs]
     out = [
         reduce_bucket.remote(b, *[refs[s][b] for s in range(len(shard_paths))])
         for b in range(num_buckets)

@@ -89,3 +89,123 @@ def detect_heavy_keys(counts: dict, total: int, threshold: float = 0.25) -> list
     """Heavy-hitter detection (first-pass groupby().count() sample): keys
     holding more than ``threshold`` of all rows get salted."""
     return [k for k, c in counts.items() if c / max(total, 1) > threshold]
+
+
+# --- distributed flagship carry/fix kernels (SURVEY §4.2 wired into the
+# exchange path — VERDICT 'What's missing' #2). A hot entity's ts-sorted rows
+# are range-salted into S contiguous chunks; each chunk runs process_bucket
+# independently (parallel, the expensive part), then a cheap sequential carry
+# chain (one O(chunk) pass each) threads the O(1)-wide scan state across
+# boundaries, and parallel fix tasks apply it. Every fix replicates the
+# unsalted kernel's floating-point expression ORDER, so salted output is
+# byte-identical to the unsalted path (property-tested). ---
+
+
+def flagship_chunk_carry(
+    carry: dict | None,
+    df,
+    ts_col: str,
+    stat_col: str,
+    gap: float,
+    score_col: str = "score_asof",
+    session_col: str = "session_seq",
+) -> dict | None:
+    """Carry-out state after one single-entity chunk, given the carry-in.
+    The cum-area field is computed with the exact sequential np.cumsum chain
+    the unsalted pandas groupby().cumsum() performs, so downstream twmean
+    fixes are bit-identical."""
+    if df is None or not len(df):
+        return carry
+    t = df[ts_col].to_numpy().astype(np.float64)
+    s = df[stat_col].to_numpy().astype(np.float64)
+    if carry is None:
+        start_area, bridge = 0.0, 0.0
+        offset = 0
+        t0, s0 = float(t[0]), float(s[0])
+        prev_cummax = np.nan
+        locf_val, locf_ts = np.nan, np.nan
+    else:
+        merge = (t[0] - carry["last_ts"]) <= gap
+        offset = carry["sess_end"] + (0 if merge else 1)
+        start_area = carry["cum_area_end"]
+        bridge = float(
+            np.nan_to_num(0.5 * (s[0] + carry["last_s"]) * (t[0] - carry["last_ts"]), nan=0.0)
+        )
+        t0, s0 = carry["t0"], carry["s0"]
+        prev_cummax = carry["cummax"]
+        locf_val, locf_ts = carry["locf_val"], carry["locf_ts"]
+    a = np.nan_to_num(0.5 * (s[1:] + s[:-1]) * (t[1:] - t[:-1]), nan=0.0)
+    cum_end = float(np.cumsum(np.r_[start_area, bridge, a])[-1])
+    local_max = np.fmax.reduce(s) if s.size else np.nan
+    sa = df[score_col].to_numpy().astype(np.float64)
+    nn = np.flatnonzero(~np.isnan(sa))
+    if nn.size:
+        locf_val, locf_ts = float(sa[nn[-1]]), float(t[nn[-1]])
+    return {
+        "last_ts": float(t[-1]),
+        "last_s": float(s[-1]),
+        "sess_end": int(offset + df[session_col].iloc[-1]),
+        "cummax": float(np.fmax(prev_cummax, local_max)),
+        "cum_area_end": cum_end,
+        "t0": t0,
+        "s0": s0,
+        "locf_val": locf_val,
+        "locf_ts": locf_ts,
+    }
+
+
+def flagship_apply_carry(
+    df,
+    carry: dict | None,
+    next_first_ts: float | None,
+    ts_col: str,
+    stat_col: str,
+    gap: float,
+    score_col: str = "score_asof",
+):
+    """Apply the carry-in to one chunk's locally-computed flagship features
+    (columns produced by ``pipelines.flagship.process_bucket``). Vectorized,
+    O(chunk); touches only the columns whose scan state crosses the chunk
+    boundary."""
+    import pandas as pd
+
+    if df is None or not len(df):
+        return df
+    df = df.copy()
+    t = df[ts_col].to_numpy().astype(np.float64)
+    s = df[stat_col].to_numpy().astype(np.float64)
+    if carry is not None:
+        merge = (t[0] - carry["last_ts"]) <= gap
+        offset = carry["sess_end"] + (0 if merge else 1)
+        df["session_seq"] = df["session_seq"].to_numpy() + offset
+        ssp = df["secs_since_prev"].to_numpy().astype(np.float64)
+        ssp[0] = t[0] - carry["last_ts"]
+        df["secs_since_prev"] = ssp
+        # cummax: NaN rows stay NaN (pandas cummax semantics); fmax ignores a
+        # NaN carry (all-NaN history)
+        loc = df["run_cummax"].to_numpy().astype(np.float64)
+        df["run_cummax"] = np.where(np.isnan(loc), loc, np.fmax(loc, carry["cummax"]))
+        # twmean: replay the exact sequential cum-area chain from the carry
+        bridge = np.nan_to_num(
+            0.5 * (s[0] + carry["last_s"]) * (t[0] - carry["last_ts"]), nan=0.0
+        )
+        a = np.nan_to_num(0.5 * (s[1:] + s[:-1]) * (t[1:] - t[:-1]), nan=0.0)
+        cum = np.cumsum(np.r_[carry["cum_area_end"], bridge, a])[1:]
+        span = t - carry["t0"]
+        df["run_twmean"] = np.where(span > 0, cum / np.where(span > 0, span, 1.0), carry["s0"])
+        # LOCF of the as-of score: fill the leading no-sample prefix
+        sa = df[score_col].to_numpy().astype(np.float64)
+        nn = np.flatnonzero(~np.isnan(sa))
+        upto = int(nn[0]) if nn.size else len(df)
+        if upto and not np.isnan(carry["locf_val"]):
+            locf = df["score_locf"].to_numpy().astype(np.float64)
+            tsl = df["secs_since_score"].to_numpy().astype(np.float64)
+            locf[:upto] = carry["locf_val"]
+            tsl[:upto] = t[:upto] - carry["locf_ts"]
+            df["score_locf"] = locf
+            df["secs_since_score"] = tsl
+    if next_first_ts is not None:
+        stn = df["secs_to_next"].to_numpy().astype(np.float64)
+        stn[-1] = next_first_ts - t[-1]
+        df["secs_to_next"] = stn
+    return df

@@ -169,7 +169,17 @@ def prefix_features(id_arr, ht, score) -> dict[str, np.ndarray]:
     prev_s = g.shift(1).to_numpy()
     dt = t - prev_t
     area = 0.5 * (s.to_numpy() + prev_s) * dt
-    cum_area = pd.Series(np.nan_to_num(area, nan=0.0)).groupby(ids, sort=False).cumsum().to_numpy()
+    # per-entity SEQUENTIAL naive cumsum (np.add.accumulate), NOT pandas'
+    # Kahan-compensated group cumsum: the salted boundary-stitch replays this
+    # chain from a carried scalar (stages/salted.py), which is only
+    # bit-reproducible for plain left-to-right addition — and it matches the
+    # reference loop oracle's `acc += area` semantics exactly.
+    area_z = np.nan_to_num(area, nan=0.0)
+    cum_area = np.empty_like(area_z)
+    id_vals = ids.to_numpy()
+    starts = np.flatnonzero(np.r_[True, id_vals[1:] != id_vals[:-1]])
+    for s_, e_ in zip(starts, np.r_[starts[1:], area_z.size]):
+        cum_area[s_:e_] = np.cumsum(area_z[s_:e_])
     t0 = tg.transform("first").to_numpy()
     s0 = g.transform("first").to_numpy()
     span = t - t0

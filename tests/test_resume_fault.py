@@ -67,13 +67,15 @@ class TestKillAndResume:
         # concurrent stragglers harmless: same deterministic content).
         manifest = f"{crash_dir}/manifest.jsonl"
         n_done = sum(1 for _ in open(manifest)) if os.path.exists(manifest) else 0
-        assert n_done < 6
 
         res = run_flagship_exchange(
             f"{d}/tokens.parquet", f"{d}/scores.parquet",
             out_dir=crash_dir, num_buckets=6,
         )
-        assert len(res) == 6 and res["skipped"].sum() >= n_done
+        # >= 6: the fixture's Zipf-head doc_id triggers auto-salting, adding
+        # range-salted partitions beyond the 6 hash buckets
+        assert len(res) >= 6 and n_done < len(res)
+        assert res["skipped"].sum() >= n_done
         pd.testing.assert_frame_equal(_load_parts(clean_dir), _load_parts(crash_dir))
 
 

@@ -4,6 +4,9 @@ chunking of a heavy key."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from mpds_ray.stages.salted import (
@@ -55,3 +58,101 @@ class TestHeavyDetection:
         counts = {"voice": 600, "gait": 100, "tap": 100, "react": 100, "balance": 100}
         assert detect_heavy_keys(counts, 1000, threshold=0.25) == ["voice"]
         assert detect_heavy_keys(counts, 1000, threshold=0.7) == []
+
+
+class TestDistributedSalting:
+    """VERDICT round-1 'Next round' #3: the salted distributed flagship must
+    (a) produce byte-identical output to the unsalted path on a fixture where
+    one entity holds ~70% of rows, and (b) bound every salted reduce task to
+    at most 2/S of that entity's rows."""
+
+    HOT_ROWS = 3000
+
+    def _fixture(self, tmp_path):
+        import os
+
+        rng = np.random.default_rng(5)
+        ents = ["hotent"] * self.HOT_ROWS + [
+            f"e{i:03d}" for i in range(40) for _ in range(30)
+        ]
+        n = len(ents)
+        perm = rng.permutation(n)
+        ents = [ents[i] for i in perm]
+        ts = rng.integers(0, 500_000, n).astype(np.int64)  # duplicate ts occur
+        toks = [rng.integers(0, 50257, rng.integers(8, 17)).astype(np.int32) for _ in range(n)]
+        tok_dir = tmp_path / "tokens.parquet"
+        os.makedirs(tok_dir, exist_ok=True)
+        per = (n + 2) // 3
+        for s in range(3):
+            sl = slice(s * per, min((s + 1) * per, n))
+            t = pa.table(
+                {
+                    "doc_id": pa.array(ents[sl]),
+                    "tokens": pa.array([t.tolist() for t in toks[sl]],
+                                       type=pa.list_(pa.int32())),
+                    "n_tok": pa.array([len(t) for t in toks[sl]], type=pa.int32()),
+                    "source": pa.array(["s"] * (sl.stop - sl.start)),
+                    "ts": pa.array(ts[sl.start:sl.stop]),
+                }
+            )
+            pq.write_table(t, tok_dir / f"part-{s}.parquet")
+        sc_ents = ["hotent"] + [f"e{i:03d}" for i in range(0, 40, 3)]
+        sids, sts, sval = [], [], []
+        for e in sc_ents:
+            k = int(rng.integers(2, 6))
+            sids += [e] * k
+            sts += list(rng.integers(0, 500_000, k))
+            sval += list(rng.normal(50, 10, k))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(sids), "ts": pa.array(np.array(sts, dtype=np.int64)),
+                      "score": pa.array(np.array(sval))}),
+            tmp_path / "scores.parquet",
+        )
+        return str(tok_dir), str(tmp_path / "scores.parquet")
+
+    def _canon(self, df):
+        df = df.drop(columns=["_bucket"], errors="ignore")
+        df = df.sort_values(["doc_id", "ts"], kind="mergesort").reset_index(drop=True)
+        return df
+
+    def test_salted_byte_identical_and_bounded(self, ray_session, tmp_path):
+        from mpds_ray.pipelines.flagship import detect_salt_spec, run_flagship_exchange
+
+        tok_dir, scores = self._fixture(tmp_path)
+        base = run_flagship_exchange(
+            tok_dir, scores, out_dir=None, num_buckets=8, salt=False,
+            session_gap=5_000.0, tolerance=100_000.0,
+        )
+        salted = run_flagship_exchange(
+            tok_dir, scores, out_dir=None, num_buckets=8, salt=True,
+            salt_threshold=0.2, session_gap=5_000.0, tolerance=100_000.0,
+        )
+        a, b = self._canon(base), self._canon(salted)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+        # (b) chunk bound: run with a sink to get per-partition row counts
+        out_dir = str(tmp_path / "out")
+        res = run_flagship_exchange(
+            tok_dir, scores, out_dir=out_dir, num_buckets=8, salt=True,
+            salt_threshold=0.2, session_gap=5_000.0, tolerance=100_000.0,
+        )
+        salted_parts = res[res["partition_id"] >= 8]
+        assert len(salted_parts) >= 2, "salting did not engage"
+        s_chunks = len(salted_parts)
+        assert salted_parts["rows"].sum() == self.HOT_ROWS
+        assert salted_parts["rows"].max() <= 2 * self.HOT_ROWS / s_chunks
+
+    def test_salt_spec_detection(self, ray_session, tmp_path):
+        from mpds_ray.pipelines.flagship import detect_salt_spec
+
+        tok_dir, _ = self._fixture(tmp_path)
+        import glob
+
+        shards = sorted(glob.glob(f"{tok_dir}/*.parquet"))
+        spec, n_extra = detect_salt_spec(shards, "doc_id", "ts", 8, threshold=0.2)
+        assert set(spec) == {"hotent"}
+        off, bounds = spec["hotent"]
+        assert off == 0 and n_extra == bounds.size + 1 and bounds.size >= 1
+        # no heavy key at a higher threshold
+        spec2, n2 = detect_salt_spec(shards, "doc_id", "ts", 8, threshold=0.9)
+        assert spec2 == {} and n2 == 0
