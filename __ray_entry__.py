@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from mpds_ray.oracle.golden import golden_oracles
     from mpds_ray.pipelines import eventspipe, knn, relational, text
 
     out: dict[str, str] = {}
@@ -79,4 +80,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(eventspipe.ORACLE)
     out.update(text.ORACLE)
     out.update(knn.ORACLE)
+    # non-SQL-expressible sketches/ML: committed golden-parquet regression
+    # oracles (see mpds_ray/oracle/golden.py for what they do and don't prove)
+    out.update(golden_oracles())
     return out
