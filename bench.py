@@ -37,21 +37,27 @@ BENCH_QUERIES = (
     "cumulative_user_value",
     "dedup_exact",
     "doc_token_stats",
+    "quality_scores",
+    "simhash_docs",
+    "minhash_dup_candidates",
     "knn_cosine_top10",
+    "embedding_near_dups",
 )
+
+FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot
+SALT = os.environ.get("MPDS_BENCH_SALT", "1") != "0"
+HEADLINE_TRIALS = int(os.environ.get("MPDS_BENCH_TRIALS", "3"))
 
 
 def run_headline() -> tuple[float, int]:
-    import ray.data as rd
-
-    from mpds_ray.pipelines.flagship import run_flagship_exchange
-    from mpds_ray.synth import cached_fixture_dir
-
     import glob
 
     import pyarrow.parquet as pq
 
-    d = cached_fixture_dir("bench")
+    from mpds_ray.pipelines.flagship import run_flagship_exchange
+    from mpds_ray.synth import cached_fixture_dir
+
+    d = cached_fixture_dir(FIXTURE)
     shards = sorted(glob.glob(f"{d}/tokens.parquet/*.parquet"))
     n_rows = sum(pq.read_metadata(p).num_rows for p in shards)
     # warm the page cache so we measure compute+shuffle, not first disk read
@@ -59,34 +65,38 @@ def run_headline() -> tuple[float, int]:
         with open(p, "rb") as f:
             while f.read(1 << 24):
                 pass
+
+    def one_run(out_dir: str) -> float:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_flagship_exchange(
+            f"{d}/tokens.parquet",
+            f"{d}/scores.parquet",
+            out_dir=out_dir,
+            num_buckets=64,  # constant across parallelism levels (same plan)
+            heavy=True,  # include DFA + Lomb-Scargle dfc (reference headline
+            # features; also makes the stage compute-bound -> scales with cores)
+            salt=SALT,
+        )
+        secs = time.perf_counter() - t0
+        written = res["rows"].sum()
+        assert written == n_rows, f"row loss: wrote {written} of {n_rows}"
+        return secs
+
     # untimed warmup: one full execution of the identical pipeline into a
     # throwaway directory. Every worker process pays its one-time costs
     # (module imports, numpy/pandas first-call initialization, parquet codec
-    # setup) here, so the timed run measures steady-state throughput — the
+    # setup) here, so the timed runs measure steady-state throughput — the
     # quantity that scales with cluster size — not per-process cold start.
     warm_dir = f"/tmp/mpds_bench_warm/{NUM_CPUS}"
+    one_run(warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
-    run_flagship_exchange(
-        f"{d}/tokens.parquet", f"{d}/scores.parquet", out_dir=warm_dir,
-        num_buckets=64, heavy=True,
-    )
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    _ = rd  # ray.data import kept for the query phase
 
+    # min-of-N timed runs: this host's deliverable parallel throughput swings
+    # several-x with co-tenant load (BASELINE.md §3); the min is the host's
+    # quiet-window capability, the quantity comparable across levels/rounds.
     out_dir = f"/tmp/mpds_bench_out/{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    res = run_flagship_exchange(
-        f"{d}/tokens.parquet",
-        f"{d}/scores.parquet",
-        out_dir=out_dir,
-        num_buckets=64,  # constant across parallelism levels (same plan)
-        heavy=True,  # include DFA + Lomb-Scargle dfc (reference headline
-        # features; also makes the stage compute-bound -> scales with cores)
-    )
-    written = res["rows"].sum()
-    secs = time.perf_counter() - t0
-    assert written == n_rows, f"row loss: wrote {written} of {n_rows}"
+    secs = min(one_run(out_dir) for _ in range(HEADLINE_TRIALS))
     return secs, n_rows
 
 
@@ -144,10 +154,11 @@ def scaling() -> None:
     # pre-generate the shared fixture once so both runs read the same input
     from mpds_ray.synth import cached_fixture_dir
 
-    cached_fixture_dir("bench")
+    cached_fixture_dir(FIXTURE)
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), MPDS_BENCH_HEADLINE_ONLY="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), MPDS_BENCH_HEADLINE_ONLY="1",
+                   MPDS_BENCH_TRIALS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -183,7 +194,6 @@ def scaling() -> None:
         time.sleep(2)
     r_lo, r_hi = best[lo], best[hi]
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    extra: dict = {}
     print(
         json.dumps(
             {
@@ -194,7 +204,8 @@ def scaling() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "levels": [lo, hi],
                 "n_sequences": r_lo["n_sequences"],
-                **extra,
+                "fixture": FIXTURE,
+                "salt": SALT,
             }
         )
     )

@@ -31,11 +31,16 @@ def synth_tokens_table(
     seed: int = 42,
     max_tok: int = 512,
     out_of_order_frac: float = 0.02,
+    hot_share: float = 0.0,
 ) -> pa.Table:
     rng = np.random.default_rng(seed)
-    # Zipf(1.2) row allocation over entities
+    # Zipf(1.2) row allocation over entities; ``hot_share`` > 0 pins that
+    # fraction of all rows on entity 0 (pathological heavy hitter, the
+    # salting demo fixture)
     w = 1.0 / np.arange(1, n_entities + 1) ** 1.2
     w /= w.sum()
+    if hot_share > 0.0:
+        w = np.r_[hot_share, (1.0 - hot_share) * w[1:] / w[1:].sum()]
     ent = rng.choice(n_entities, size=n_rows, p=w)
     ent.sort()  # group rows per entity; ts ordering handled below
     doc_id = np.array([f"d{e:05d}" for e in ent])
@@ -95,11 +100,14 @@ def cached_fixture_dir(scale: str = "small", seed: int = 42) -> str:
     """Write (once) and return a /tmp directory with tokens.parquet +
     scores.parquet at the named scale: tiny | small | bench."""
     sizes = {
-        "tiny": (3, 40, 512),
-        "small": (200, 20_000, 512),
-        "bench": (2_000, 2_000_000, 128),  # 2M sequences, bounded token bytes
+        "tiny": (3, 40, 512, 0.0),
+        "small": (200, 20_000, 512, 0.0),
+        "bench": (2_000, 2_000_000, 128, 0.0),  # 2M sequences, bounded token bytes
+        # pathological heavy hitter: one entity owns 60% of all rows —
+        # the salting demo (SURVEY §4.2); identical row count to "bench"
+        "hot": (2_000, 2_000_000, 128, 0.6),
     }
-    n_entities, n_rows, max_tok = sizes[scale]
+    n_entities, n_rows, max_tok, hot_share = sizes[scale]
     d = f"/tmp/mpds_fixtures/{scale}_seed{seed}"
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
@@ -107,7 +115,8 @@ def cached_fixture_dir(scale: str = "small", seed: int = 42) -> str:
         # shard the tokens table into many files: ray.data schedules one read
         # task per file, so a single giant file would serialize the parquet
         # decode (exactly the layout rule for the real 100 TB input)
-        table = synth_tokens_table(n_entities, n_rows, seed, max_tok=max_tok)
+        table = synth_tokens_table(n_entities, n_rows, seed, max_tok=max_tok,
+                                   hot_share=hot_share)
         n_shards = max(1, min(32, n_rows // 16_384))
         shard_dir = f"{d}/tokens.parquet"
         os.makedirs(shard_dir, exist_ok=True)
