@@ -23,7 +23,7 @@ from ..functions.dssl import (
 )
 from ..functions.metrics import auc, sign_agreement_accuracy
 from ..stages.scans import prefix_features, time_since_to_event
-from .eventspipe import _events_sorted, _per_bucket
+from .eventspipe import _per_bucket_events
 
 FEATURES = ["value", "secs_since_prev", "cum_value", "hour_of_day"]
 
@@ -81,9 +81,8 @@ def build_design_matrix(sf_dir: str, row_cap: int = TRAIN_ROW_CAP) -> pd.DataFra
             }
         )
 
-    ds = _per_bucket(_events_sorted(sf_dir, ["event_type", "value"]), fn)
-    df = ds.to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
-    return df
+    df = _per_bucket_events(sf_dir, ["event_type", "value"], fn)
+    return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
 
 
 def make_order_pairs_events(df: pd.DataFrame, cap: int = 5000, seed: int = 42) -> np.ndarray:

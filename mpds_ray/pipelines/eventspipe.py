@@ -40,7 +40,9 @@ def _events_sorted(sf_dir: str, columns: list[str]):
 
 
 def _per_bucket(ds, fn, num_buckets: int = NUM_BUCKETS):
-    from ..stages.partition import partition_sort
+    """Dataset-native bucket scan (general path for arbitrary Dataset
+    inputs): hash-bucket by user, sort each bucket (user_id, ts, event_id),
+    apply ``fn`` per entity-complete bucket."""
 
     def sorted_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
@@ -56,6 +58,39 @@ def _per_bucket(ds, fn, num_buckets: int = NUM_BUCKETS):
     return bucketed.groupby("_bucket").map_groups(
         lambda g: sorted_fn(g.drop(columns=["_bucket"])), batch_format="pandas"
     )
+
+
+def _per_bucket_events(sf_dir: str, columns: list[str], fn, num_buckets: int = NUM_BUCKETS):
+    """The events-table bucket scan over the explicit hash exchange: map
+    tasks read pruned shard columns and convert ts to epoch seconds; reduce
+    tasks sort their bucket (user_id, ts, event_id) and run the scan. Same
+    semantics as ``_per_bucket(_events_sorted(...), fn)`` (tested) without
+    the Dataset sort-shuffle's fixed ~2-3 s driver barrier per query."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+    from .common import tpath
+
+    path = tpath(sf_dir, "events")
+    shards = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
+    cols = list(dict.fromkeys(columns + ["user_id", "ts", "event_id"]))
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        epoch = pa.array(t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) / 1e6)
+        return t.set_column(t.schema.get_field_index("ts"), "ts", epoch)
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        g = (
+            tbl.to_pandas()
+            .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return fn(g)
+
+    return hash_exchange(shards, map_fn, "user_id", num_buckets, reduce_fn, columns=cols)
 
 
 # --- T2/T9: gap sessionize + per-session aggregate (A2) ---
@@ -78,7 +113,7 @@ def sessionize_user_events(sf_dir: str):
         out["t_end"] = out["t_end"].round(6)
         return out[["user_id", "session_seq", "n_events", "t_start", "t_end", "duration", "sum_value"]]
 
-    return _per_bucket(_events_sorted(sf_dir, ["value"]), fn)
+    return _per_bucket_events(sf_dir, ["value"], fn)
 
 
 SESSIONIZE_SQL = f"""
@@ -115,7 +150,7 @@ def time_since_prev_event(sf_dir: str):
             }
         )
 
-    return _per_bucket(_events_sorted(sf_dir, []), fn)
+    return _per_bucket_events(sf_dir, [], fn)
 
 
 SINCE_PREV_SQL = """
@@ -139,7 +174,7 @@ def time_to_next_error(sf_dir: str):
             }
         )
 
-    return _per_bucket(_events_sorted(sf_dir, ["event_type"]), fn)
+    return _per_bucket_events(sf_dir, ["event_type"], fn)
 
 
 TO_NEXT_ERROR_SQL = """
@@ -166,7 +201,7 @@ def locf_last_purchase(sf_dir: str):
             }
         )
 
-    return _per_bucket(_events_sorted(sf_dir, ["event_type", "value"]), fn)
+    return _per_bucket_events(sf_dir, ["event_type", "value"], fn)
 
 
 LOCF_SQL = """
@@ -205,7 +240,7 @@ def asof_purchase_for_views(sf_dir: str):
             }
         )
 
-    return _per_bucket(_events_sorted(sf_dir, ["event_type", "value"]), fn)
+    return _per_bucket_events(sf_dir, ["event_type", "value"], fn)
 
 
 ASOF_SQL = f"""
@@ -233,7 +268,7 @@ def cumulative_user_value(sf_dir: str):
             }
         )
 
-    return _per_bucket(_events_sorted(sf_dir, ["value"]), fn)
+    return _per_bucket_events(sf_dir, ["value"], fn)
 
 
 CUMSUM_SQL = """
@@ -283,7 +318,7 @@ def debounced_error_bursts(sf_dir: str):
         )
         return pd.DataFrame({"event_id": g["event_id"], "kept": kept})
 
-    return _per_bucket(_events_sorted(sf_dir, ["event_type"]), fn)
+    return _per_bucket_events(sf_dir, ["event_type"], fn)
 
 
 DEBOUNCE_SQL = f"""
@@ -346,7 +381,7 @@ def sliding_window_mean(sf_dir: str):
             }
         )
 
-    return _per_bucket(_events_sorted(sf_dir, ["value"]), fn)
+    return _per_bucket_events(sf_dir, ["value"], fn)
 
 
 SLIDING_SQL = f"""
@@ -373,7 +408,7 @@ def first_event_per_user(sf_dir: str):
             }
         )
 
-    return _per_bucket(_events_sorted(sf_dir, ["event_type"]), fn)
+    return _per_bucket_events(sf_dir, ["event_type"], fn)
 
 
 FIRST_EVENT_SQL = """
