@@ -452,7 +452,7 @@ def _run_salted_exchange(
     import ray
 
     from ..stages.exchange import exchange_map
-    from ..stages.salted import flagship_apply_carry, flagship_chunk_carry
+    from ..stages.salted import chunk_carry_info, flagship_apply_carry, fold_carry
 
     total_buckets = num_buckets + n_extra
 
@@ -477,28 +477,21 @@ def _run_salted_exchange(
             return pd.DataFrame()
         return reduce_fn(b, pa.concat_tables(nonempty))
 
-    @ray.remote
-    def phase1_chunk(b: int, e, *parts: pa.Table) -> pd.DataFrame:
+    @ray.remote(num_returns=2)
+    def phase1_chunk(b: int, e, *parts: pa.Table):
         nonempty = [p for p in parts if p.num_rows]
         if not nonempty:
-            return pd.DataFrame()
+            return pd.DataFrame(), None
         left = pa.concat_tables(nonempty).to_pandas()
         scores = ray.get(scores_ref)
         right = scores[scores[entity].to_numpy() == e]
-        return process_bucket(
+        feats = process_bucket(
             left, right, entity, ts, session_gap, tolerance, stat_cols, bucket_id=b
         )
-
-    @ray.remote
-    def head_info(feats: pd.DataFrame):
-        if not len(feats):
-            return None
-        t = feats[ts].to_numpy().astype(np.float64)
-        return float(t[0]), float(t[-1]), len(feats)
-
-    @ray.remote
-    def carry_task(carry, feats: pd.DataFrame):
-        return flagship_chunk_carry(carry, feats, ts, stat_cols[0], session_gap)
+        # compact summary rides back separately so the carry fold never
+        # refetches the features frame (the r1-draft sequential carry-task
+        # chain serialized 30+ scheduling round trips — a straggler of its own)
+        return feats, chunk_carry_info(feats, ts, stat_cols[0])
 
     @ray.remote
     def fix_task(feats: pd.DataFrame, carry, next_first_ts, b: int):
@@ -515,22 +508,23 @@ def _run_salted_exchange(
     ]
     for e, (off, bounds) in spec.items():
         chunk_buckets = [num_buckets + off + c for c in range(bounds.size + 1)]
-        feats = [
-            phase1_chunk.remote(b, e, *[refs[s][b] for s in range(len(shards))])
-            for b in chunk_buckets
-        ]
-        heads = ray.get([head_info.remote(f) for f in feats])
-        # sequential carry chain over chunks (cheap O(chunk) passes); fixes
-        # launch as soon as their carry-in object is ready
+        feats, info_refs = [], []
+        for b in chunk_buckets:
+            f, i = phase1_chunk.remote(b, e, *[refs[s][b] for s in range(len(shards))])
+            feats.append(f)
+            info_refs.append(i)
+        infos = ray.get(info_refs)  # compact: scalars + one area array each
+        # driver-side sequential fold (microseconds per chunk) -> carry-ins;
+        # all fix tasks then launch in parallel immediately
         carry = None
         carries = [None] * len(feats)
-        for k in range(len(feats)):
+        for k, info in enumerate(infos):
             carries[k] = carry  # carry-IN for chunk k
-            carry = carry_task.remote(carry, feats[k])
-        next_first = [None] * len(feats)
-        for k in range(len(feats)):
-            nxt = next((heads[j][0] for j in range(k + 1, len(feats)) if heads[j]), None)
-            next_first[k] = nxt
+            carry = fold_carry(carry, info, session_gap)
+        next_first = [
+            next((infos[j]["first_ts"] for j in range(k + 1, len(infos)) if infos[j]), None)
+            for k in range(len(infos))
+        ]
         out_refs += [
             fix_task.remote(feats[k], carries[k], next_first[k], chunk_buckets[k])
             for k in range(len(feats))

@@ -101,6 +101,79 @@ def detect_heavy_keys(counts: dict, total: int, threshold: float = 0.25) -> list
 # byte-identical to the unsalted path (property-tested). ---
 
 
+def chunk_carry_info(
+    df,
+    ts_col: str,
+    stat_col: str,
+    score_col: str = "score_asof",
+    session_col: str = "session_seq",
+) -> dict | None:
+    """Compact per-chunk summary the driver-side carry fold consumes: a few
+    scalars plus the chunk's trapezoid-area array (needed because the exact
+    sequential cum-area chain is not expressible from a per-chunk scalar —
+    floating addition is non-associative). O(chunk) once, computed inside the
+    phase-1 task so no task ever refetches the features frame."""
+    if df is None or not len(df):
+        return None
+    t = df[ts_col].to_numpy().astype(np.float64)
+    s = df[stat_col].to_numpy().astype(np.float64)
+    sa = df[score_col].to_numpy().astype(np.float64)
+    nn = np.flatnonzero(~np.isnan(sa))
+    return {
+        "first_ts": float(t[0]),
+        "last_ts": float(t[-1]),
+        "first_s": float(s[0]),
+        "last_s": float(s[-1]),
+        "sess_local_end": int(df[session_col].iloc[-1]),
+        "local_max": float(np.fmax.reduce(s)),
+        "areas": np.nan_to_num(0.5 * (s[1:] + s[:-1]) * (t[1:] - t[:-1]), nan=0.0),
+        "locf_val": float(sa[nn[-1]]) if nn.size else np.nan,
+        "locf_ts": float(t[nn[-1]]) if nn.size else np.nan,
+        "n": int(len(df)),
+    }
+
+
+def fold_carry(carry: dict | None, info: dict | None, gap: float) -> dict | None:
+    """Driver-side sequential fold: carry-out after a chunk given carry-in
+    and the chunk's summary. The cum-area replay uses the exact sequential
+    np.cumsum chain the per-entity scan performs, so downstream twmean fixes
+    are bit-identical. O(chunk) on the areas array, microseconds per chunk."""
+    if info is None:
+        return carry
+    if carry is None:
+        start_area, bridge, offset = 0.0, 0.0, 0
+        t0, s0 = info["first_ts"], info["first_s"]
+        prev_cummax = np.nan
+        locf_val, locf_ts = np.nan, np.nan
+    else:
+        merge = (info["first_ts"] - carry["last_ts"]) <= gap
+        offset = carry["sess_end"] + (0 if merge else 1)
+        start_area = carry["cum_area_end"]
+        bridge = float(
+            np.nan_to_num(
+                0.5 * (info["first_s"] + carry["last_s"]) * (info["first_ts"] - carry["last_ts"]),
+                nan=0.0,
+            )
+        )
+        t0, s0 = carry["t0"], carry["s0"]
+        prev_cummax = carry["cummax"]
+        locf_val, locf_ts = carry["locf_val"], carry["locf_ts"]
+    cum_end = float(np.cumsum(np.r_[start_area, bridge, info["areas"]])[-1])
+    if not np.isnan(info["locf_val"]):
+        locf_val, locf_ts = info["locf_val"], info["locf_ts"]
+    return {
+        "last_ts": info["last_ts"],
+        "last_s": info["last_s"],
+        "sess_end": offset + info["sess_local_end"],
+        "cummax": float(np.fmax(prev_cummax, info["local_max"])),
+        "cum_area_end": cum_end,
+        "t0": t0,
+        "s0": s0,
+        "locf_val": locf_val,
+        "locf_ts": locf_ts,
+    }
+
+
 def flagship_chunk_carry(
     carry: dict | None,
     df,
@@ -110,48 +183,10 @@ def flagship_chunk_carry(
     score_col: str = "score_asof",
     session_col: str = "session_seq",
 ) -> dict | None:
-    """Carry-out state after one single-entity chunk, given the carry-in.
-    The cum-area field is computed with the exact sequential np.cumsum chain
-    the unsalted pandas groupby().cumsum() performs, so downstream twmean
-    fixes are bit-identical."""
-    if df is None or not len(df):
-        return carry
-    t = df[ts_col].to_numpy().astype(np.float64)
-    s = df[stat_col].to_numpy().astype(np.float64)
-    if carry is None:
-        start_area, bridge = 0.0, 0.0
-        offset = 0
-        t0, s0 = float(t[0]), float(s[0])
-        prev_cummax = np.nan
-        locf_val, locf_ts = np.nan, np.nan
-    else:
-        merge = (t[0] - carry["last_ts"]) <= gap
-        offset = carry["sess_end"] + (0 if merge else 1)
-        start_area = carry["cum_area_end"]
-        bridge = float(
-            np.nan_to_num(0.5 * (s[0] + carry["last_s"]) * (t[0] - carry["last_ts"]), nan=0.0)
-        )
-        t0, s0 = carry["t0"], carry["s0"]
-        prev_cummax = carry["cummax"]
-        locf_val, locf_ts = carry["locf_val"], carry["locf_ts"]
-    a = np.nan_to_num(0.5 * (s[1:] + s[:-1]) * (t[1:] - t[:-1]), nan=0.0)
-    cum_end = float(np.cumsum(np.r_[start_area, bridge, a])[-1])
-    local_max = np.fmax.reduce(s) if s.size else np.nan
-    sa = df[score_col].to_numpy().astype(np.float64)
-    nn = np.flatnonzero(~np.isnan(sa))
-    if nn.size:
-        locf_val, locf_ts = float(sa[nn[-1]]), float(t[nn[-1]])
-    return {
-        "last_ts": float(t[-1]),
-        "last_s": float(s[-1]),
-        "sess_end": int(offset + df[session_col].iloc[-1]),
-        "cummax": float(np.fmax(prev_cummax, local_max)),
-        "cum_area_end": cum_end,
-        "t0": t0,
-        "s0": s0,
-        "locf_val": locf_val,
-        "locf_ts": locf_ts,
-    }
+    """Carry-out state after one single-entity chunk, given the carry-in
+    (info + fold in one step; the distributed path splits them so the fold
+    runs driver-side over compact summaries)."""
+    return fold_carry(carry, chunk_carry_info(df, ts_col, stat_col, score_col, session_col), gap)
 
 
 def flagship_apply_carry(
