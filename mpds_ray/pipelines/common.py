@@ -47,17 +47,25 @@ def partial_groupby_sum(
     keys: list[str],
     sums: dict[str, str],
     count_as: str | None = None,
+    final: str = "driver",
 ):
     """Map-side partial aggregation (SURVEY A2/A4 scale shape): each batch is
-    pre-reduced to one row per key with pandas, then a small global
-    ``groupby().aggregate(Sum)`` combines partials. Returns a Dataset with
-    ``keys + list(sums.values()) (+ count_as)``.
+    pre-reduced to one row per key with pandas, then the partials are
+    combined. Returns a Dataset with ``keys + list(sums.values())
+    (+ count_as)``.
 
-    At 10^12-row scale this is the difference between shuffling every row and
-    shuffling ~(keys x batches) partial rows.
+    ``final="driver"`` (default): the partial rows — bounded by
+    (distinct keys x batches), NOT by input rows — are collected and folded
+    in one pandas groupby, skipping Ray's sort-based shuffle and its fixed
+    multi-second barrier. Correct whenever the key domain is bounded
+    (aggregation state must fit one node regardless of engine — this is the
+    standard combiner-tree root). Use ``final="dataset"`` for unbounded key
+    domains (e.g. fact-table keys like o_orderkey): a distributed
+    ``groupby().aggregate(Sum)`` combines the partials instead.
+
+    At 10^12-row scale the map-side partial is the difference between
+    shuffling every row and shuffling ~(keys x batches) partial rows.
     """
-    from ray.data.aggregate import Sum
-
     sum_cols = list(sums)
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -69,6 +77,16 @@ def partial_groupby_sum(
         return g
 
     partial = ds.map_batches(_partial, batch_format="pandas", batch_size=65536)
+    if final == "driver":
+        import ray.data as rd
+
+        parts = partial.to_pandas()
+        agg_cols = sum_cols + ([count_as] if count_as else [])
+        out = parts.groupby(keys, as_index=False, sort=False)[agg_cols].sum()
+        out = out.rename(columns=sums)
+        return rd.from_pandas(out)
+    from ray.data.aggregate import Sum
+
     aggs = [Sum(c, alias_name=out) for c, out in sums.items()]
     if count_as:
         aggs.append(Sum(count_as, alias_name=count_as))

@@ -273,37 +273,47 @@ def detect_salt_spec(
     import ray
 
     @ray.remote
-    def shard_counts(path: str) -> pd.Series:
-        t = _pq.read_table(path, columns=[entity])
-        return pd.Series(t[entity].to_numpy(zero_copy_only=False)).value_counts()
+    def shard_stats(path: str):
+        """ONE pruned pass per shard: entity counts + strided ts samples for
+        the shard's top-8 entities. Any globally-heavy key (> threshold of
+        ALL rows) is in virtually every shard's local top-8, so no second
+        pass is needed (a per-key fallback below covers the pathological
+        miss)."""
+        t = _pq.read_table(path, columns=[entity, ts])
+        ent = t[entity].to_numpy(zero_copy_only=False)
+        tsv = t[ts].to_numpy(zero_copy_only=False).astype(np.float64)
+        vc = pd.Series(ent).value_counts()
+        samples = {}
+        for k in vc.index[:8]:
+            v = tsv[ent == k]
+            samples[k] = v[:: max(1, v.size // 4096)]
+        return vc, samples
 
-    vcs = ray.get([shard_counts.remote(p) for p in shards])
-    tot = pd.concat(vcs).groupby(level=0).sum()
+    stats = ray.get([shard_stats.remote(p) for p in shards])
+    tot = pd.concat([s[0] for s in stats]).groupby(level=0).sum()
     total = int(tot.sum())
     heavy = tot[tot / max(total, 1) > threshold]
     if heavy.empty:
         return {}, 0
 
-    keys = list(heavy.index)
-
-    @ray.remote
-    def shard_ts_sample(path: str) -> dict:
-        t = _pq.read_table(path, columns=[entity, ts])
-        ent = t[entity].to_numpy(zero_copy_only=False)
-        tsv = t[ts].to_numpy(zero_copy_only=False).astype(np.float64)
-        out = {}
-        for k in keys:
-            v = tsv[ent == k]
-            out[k] = v[:: max(1, v.size // 4096)] if v.size else v
-        return out
-
-    samples = ray.get([shard_ts_sample.remote(p) for p in shards])
     spec: dict = {}
     off = 0
-    for k in keys:
+    for k in heavy.index:
         share = float(tot[k]) / max(total, 1)
         n_salts = int(max(2, min(max_salts, np.ceil(share * num_buckets))))
-        sample = np.sort(np.concatenate([s[k] for s in samples]))
+        parts = [s[1][k] for s in stats if k in s[1]]
+        if not parts:  # pathological: heavy key outside every shard top-8
+
+            @ray.remote
+            def key_ts(path: str, key=k):
+                t = _pq.read_table(path, columns=[entity, ts])
+                v = t[ts].to_numpy(zero_copy_only=False).astype(np.float64)[
+                    t[entity].to_numpy(zero_copy_only=False) == key
+                ]
+                return v[:: max(1, v.size // 4096)]
+
+            parts = ray.get([key_ts.remote(p) for p in shards])
+        sample = np.sort(np.concatenate(parts))
         bounds = np.unique(np.quantile(sample, np.linspace(0, 1, n_salts + 1)[1:-1]))
         spec[k] = (off, bounds)
         off += bounds.size + 1

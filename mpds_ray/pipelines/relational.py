@@ -124,7 +124,8 @@ def q3_top_orders(sf_dir: str):
         )
 
     rev = partial_groupby_sum(
-        li.map_batches(prep, batch_format="pandas"), ["o_orderkey"], {"revenue": "revenue"}
+        li.map_batches(prep, batch_format="pandas"), ["o_orderkey"], {"revenue": "revenue"},
+        final="dataset",  # o_orderkey is a fact-table key: unbounded domain
     )
 
     def attach_date(b: pd.DataFrame, keys_ref=okeys_ref) -> pd.DataFrame:

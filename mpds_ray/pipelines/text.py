@@ -15,7 +15,7 @@ import pyarrow as pa
 
 from ..stages.window_stats import token_stats_arrays
 from ..tokenize import TOKENS_SQL_EXPR, tokenize_batch
-from .common import partial_groupby_sum, read
+from .common import read
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -377,7 +377,15 @@ def minhash_dup_candidates(sf_dir: str, threshold: float = 0.5):
     joins the candidate doc ids back against the documents table via a
     broadcast-id semi-join (memory bounded by the candidate set, never a
     driver-side corpus map — VERDICT 'What's wrong' #2)."""
+    import glob
+    import os
+
+    from ..stages.exchange import hash_exchange
+    from .common import tpath
+
     docs = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    path = tpath(sf_dir, "documents")
+    shards = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
     seeds = _splitmix64(np.arange(1, N_HASHES + 1, dtype=np.uint64) * np.uint64(0x9E3779B9))
 
     def sig_batch(batch: pa.Table) -> pd.DataFrame:
@@ -403,21 +411,31 @@ def minhash_dup_candidates(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    sigs = docs.map_batches(sig_batch, batch_format="pyarrow")
+    def sig_map(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(sig_batch(t), preserve_index=False)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2:
+    def bucket_pairs_reduce(b: int, tbl: pa.Table) -> pd.DataFrame:
+        df = tbl.to_pandas().drop_duplicates()
+        frames = []
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if ids.size < 2:
+                continue
+            ii, jj = np.triu_indices(ids.size, k=1)
+            frames.append(pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]}))
+        if not frames:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        ii, jj = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+        return pd.concat(frames, ignore_index=True)
 
-    cand = (
-        sigs.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()  # candidate pairs are output-scale, not corpus-scale
-        .drop_duplicates()
+    # signatures -> (band, band_hash, doc_id) rows, exchanged on band_hash;
+    # each reduce groups its buckets and emits candidate pairs (output-scale)
+    cand = hash_exchange(
+        shards, sig_map, "band_hash", 8, bucket_pairs_reduce,
+        columns=["doc_id", "text", "source"],
+    )
+    cand = cand.drop_duplicates() if len(cand) else pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
     )
     if len(cand) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
