@@ -184,15 +184,20 @@ def scaling() -> None:
         int(os.environ.get("MPDS_SCALE_LO", "8")),
         int(os.environ.get("MPDS_SCALE_HI", "32")),
     )
-    best: dict[int, dict] = {}
     trials = int(os.environ.get("MPDS_SCALE_TRIALS", "3"))
+    # Pair selection: per-level minima across trials are structurally BIASED
+    # on a contended host — an 8-CPU run needs only 8 free cores (quiet
+    # windows for it are common) while a 32-CPU run needs all 32 (rare), so
+    # mixing minima across windows understates scaling. The honest estimator
+    # is the back-to-back PAIR measured in the same window: report the pair
+    # with the smallest combined wall (the both-quiet proxy, the r1
+    # protocol), with every trial published alongside.
+    pairs: list[tuple[dict, dict]] = []
     for _ in range(trials):
-        for ncpu in (lo, hi):
-            r = run_once(ncpu)
-            if ncpu not in best or r["value"] < best[ncpu]["value"]:
-                best[ncpu] = r
+        pairs.append((run_once(lo), run_once(hi)))
         time.sleep(2)
-    r_lo, r_hi = best[lo], best[hi]
+    best_pair = min(pairs, key=lambda p: p[0]["value"] + p[1]["value"])
+    r_lo, r_hi = best_pair
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
@@ -206,6 +211,11 @@ def scaling() -> None:
                 "n_sequences": r_lo["n_sequences"],
                 "fixture": FIXTURE,
                 "salt": SALT,
+                "trials": [
+                    {f"sec_{lo}": a["value"], f"sec_{hi}": b["value"],
+                     "eff": round((a["value"] / b["value"]) / (hi / lo), 3)}
+                    for a, b in pairs
+                ],
             }
         )
     )

@@ -93,6 +93,20 @@ def partial_groupby_sum(
     return partial.groupby(keys).aggregate(*aggs)
 
 
+def topk_driver(ds, k: int, by: list[str], ascending: list[bool]) -> pd.DataFrame:
+    """Distributed top-k root (O3 scale shape): callers pre-reduce every
+    batch to <= k rows map-side, so the collected partials are bounded by
+    k x batches regardless of input size; the final selection is one pandas
+    sort. Replaces ``Dataset.sort().limit(k)``, which pays a full
+    sort-shuffle barrier to pick k rows."""
+    parts = ds.to_pandas()
+    return (
+        parts.sort_values(by, ascending=ascending, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def round_columns(ds, decimals: dict[str, int]):
     def _round(batch: pd.DataFrame) -> pd.DataFrame:
         for c, d in decimals.items():

@@ -262,6 +262,7 @@ def detect_salt_spec(
     num_buckets: int,
     threshold: float = 0.2,
     max_salts: int = 32,
+    min_rows: int = 1_000_000,
 ) -> tuple[dict, int]:
     """Heavy-hitter pre-pass (SURVEY §4.2): distributed per-shard entity
     counts (entity column only leaves storage) find keys holding more than
@@ -292,7 +293,12 @@ def detect_salt_spec(
     stats = ray.get([shard_stats.remote(p) for p in shards])
     tot = pd.concat([s[0] for s in stats]).groupby(level=0).sum()
     total = int(tot.sum())
-    heavy = tot[tot / max(total, 1) > threshold]
+    # gate on SHARE (straggler ratio) and ABSOLUTE size: under ~1M rows the
+    # hot entity's whole-scan straggler costs < ~0.5 s (1-3M rows/s scan
+    # throughput, measured: 1.2M-row chunk suite = 3.6 s incl. sort/asof)
+    # — below the salting machinery's ~1 s fixed cost (pre-pass + extra
+    # phase hop). At cluster scale any over-threshold key clears min_rows.
+    heavy = tot[(tot / max(total, 1) > threshold) & (tot > min_rows)]
     if heavy.empty:
         return {}, 0
 
@@ -335,6 +341,7 @@ def run_flagship_exchange(
     wide_out_dir: str | None = None,
     salt: bool = True,
     salt_threshold: float = 0.2,
+    salt_min_rows: int = 1_000_000,
 ) -> pd.DataFrame:
     """Flagship on the explicit two-stage hash exchange (stages.exchange):
     map tasks fuse read + windowed stats + bucket split; reduce tasks fuse
@@ -420,7 +427,8 @@ def run_flagship_exchange(
     n_extra = 0
     if salt:
         spec, n_extra = detect_salt_spec(
-            shards, entity, ts, num_buckets, threshold=salt_threshold
+            shards, entity, ts, num_buckets, threshold=salt_threshold,
+            min_rows=salt_min_rows,
         )
     if not spec:
         return hash_exchange(shards, map_fn, entity, num_buckets, reduce_fn)

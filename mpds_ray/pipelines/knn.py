@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .common import read, read_small
+from .common import read, read_small, topk_driver
 from .text import _splitmix64
 
 K = 10
@@ -35,13 +35,12 @@ def knn_cosine_top10(sf_dir: str):
         sims = (m @ qn) / np.linalg.norm(m, axis=1)
         out = pd.DataFrame({"vec_id": b["vec_id"], "cos_sim": np.round(sims, 6)})
         out = out[out["vec_id"] != 0]
-        # partial top-k per batch: only K rows per batch reach the global sort
+        # partial top-k per batch: only K rows per batch leave the map side
         return out.nlargest(K, "cos_sim")
 
-    return (
-        emb.map_batches(score, batch_format="pandas")
-        .sort(["cos_sim", "vec_id"], descending=[True, False])
-        .limit(K)
+    return topk_driver(
+        emb.map_batches(score, batch_format="pandas"),
+        K, ["cos_sim", "vec_id"], [False, True],
     )
 
 
@@ -109,10 +108,9 @@ def knn_ivf_top10(sf_dir: str, n_cells: int = 8, n_probe: int = 2):
         out = pd.DataFrame({"vec_id": b["vec_id"].to_numpy()[keep], "cos_sim": np.round(sims, 6)})
         return out.nlargest(K, "cos_sim")
 
-    return (
-        emb.map_batches(score, batch_format="pandas")
-        .sort(["cos_sim", "vec_id"], descending=[True, False])
-        .limit(K)
+    return topk_driver(
+        emb.map_batches(score, batch_format="pandas"),
+        K, ["cos_sim", "vec_id"], [False, True],
     )
 
 

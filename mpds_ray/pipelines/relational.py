@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .common import partial_groupby_sum, read, read_small, round_columns
+from .common import partial_groupby_sum, read, read_small, round_columns, topk_driver
 
 # --- Q1-style pricing summary (filter M10 + grouped agg A2, partial+final) ---
 
@@ -132,10 +132,10 @@ def q3_top_orders(sf_dir: str):
         keys = ray.get(keys_ref)
         b["o_orderdate_days"] = b["o_orderkey"].map(keys).astype(np.int64)
         b["revenue"] = b["revenue"].round(2)
-        return b
+        return b.nlargest(10, "revenue")  # partial top-k per block
 
     out = rev.map_batches(attach_date, batch_format="pandas")
-    return out.sort("revenue", descending=True).limit(10)
+    return topk_driver(out, 10, ["revenue", "o_orderkey"], [False, True])
 
 
 Q3_SQL = """
@@ -202,11 +202,12 @@ def top_customers_by_max_order(sf_dir: str):
     def attach(b: pd.DataFrame) -> pd.DataFrame:
         b["c_name"] = b["o_custkey"].map(nmap)
         b["max_order_price"] = b["max_order_price"].round(2)
-        return b
+        return b.nlargest(10, "max_order_price")  # partial top-k per block
 
-    return per_cust.map_batches(attach, batch_format="pandas").sort(
-        ["max_order_price", "o_custkey"], descending=[True, False]
-    ).limit(10)
+    return topk_driver(
+        per_cust.map_batches(attach, batch_format="pandas"),
+        10, ["max_order_price", "o_custkey"], [False, True],
+    )
 
 
 TOP_CUST_SQL = """
@@ -222,7 +223,10 @@ LIMIT 10
 
 def distinct_segments(sf_dir: str):
     ds = read(sf_dir, "customer", columns=["c_mktsegment"])
-    return ds.groupby("c_mktsegment").count().drop_columns(["count()"]).sort("c_mktsegment")
+    # map-side distinct (bounded by domain x batches), driver union — the
+    # combiner-root shape; a Dataset groupby would sort-shuffle to dedupe
+    parts = ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas").to_pandas()
+    return parts.drop_duplicates().sort_values("c_mktsegment").reset_index(drop=True)
 
 
 DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"

@@ -72,8 +72,8 @@ class TestKillAndResume:
             f"{d}/tokens.parquet", f"{d}/scores.parquet",
             out_dir=crash_dir, num_buckets=6,
         )
-        # >= 6: the fixture's Zipf-head doc_id triggers auto-salting, adding
-        # range-salted partitions beyond the 6 hash buckets
+        # >= 6: if auto-salting engages (share + min-rows gates), range-salted
+        # partitions appear beyond the 6 hash buckets
         assert len(res) >= 6 and n_done < len(res)
         assert res["skipped"].sum() >= n_done
         pd.testing.assert_frame_equal(_load_parts(clean_dir), _load_parts(crash_dir))

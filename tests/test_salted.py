@@ -125,7 +125,7 @@ class TestDistributedSalting:
         )
         salted = run_flagship_exchange(
             tok_dir, scores, out_dir=None, num_buckets=8, salt=True,
-            salt_threshold=0.2, session_gap=5_000.0, tolerance=100_000.0,
+            salt_threshold=0.2, salt_min_rows=0, session_gap=5_000.0, tolerance=100_000.0,
         )
         a, b = self._canon(base), self._canon(salted)
         pd.testing.assert_frame_equal(a, b, check_exact=True)
@@ -134,7 +134,7 @@ class TestDistributedSalting:
         out_dir = str(tmp_path / "out")
         res = run_flagship_exchange(
             tok_dir, scores, out_dir=out_dir, num_buckets=8, salt=True,
-            salt_threshold=0.2, session_gap=5_000.0, tolerance=100_000.0,
+            salt_threshold=0.2, salt_min_rows=0, session_gap=5_000.0, tolerance=100_000.0,
         )
         salted_parts = res[res["partition_id"] >= 8]
         assert len(salted_parts) >= 2, "salting did not engage"
@@ -149,10 +149,10 @@ class TestDistributedSalting:
         import glob
 
         shards = sorted(glob.glob(f"{tok_dir}/*.parquet"))
-        spec, n_extra = detect_salt_spec(shards, "doc_id", "ts", 8, threshold=0.2)
+        spec, n_extra = detect_salt_spec(shards, "doc_id", "ts", 8, threshold=0.2, min_rows=0)
         assert set(spec) == {"hotent"}
         off, bounds = spec["hotent"]
         assert off == 0 and n_extra == bounds.size + 1 and bounds.size >= 1
         # no heavy key at a higher threshold
-        spec2, n2 = detect_salt_spec(shards, "doc_id", "ts", 8, threshold=0.9)
+        spec2, n2 = detect_salt_spec(shards, "doc_id", "ts", 8, threshold=0.9, min_rows=0)
         assert spec2 == {} and n2 == 0

@@ -85,15 +85,15 @@ class TestKnn:
     def test_ivf_recall(self, ray_session, sf_dir):
         from mpds_ray.pipelines.knn import knn_cosine_top10, knn_ivf_top10
 
-        brute = knn_cosine_top10(sf_dir).to_pandas()
-        ivf = knn_ivf_top10(sf_dir).to_pandas()
+        brute = knn_cosine_top10(sf_dir)
+        ivf = knn_ivf_top10(sf_dir)
         recall = len(set(brute["vec_id"]) & set(ivf["vec_id"])) / len(brute)
         assert recall >= 0.5  # 2 of 8 cells probed; >=50% of true top-10
 
     def test_brute_force_is_exact(self, ray_session, sf_dir):
         from mpds_ray.pipelines.knn import knn_cosine_top10, _query_vector
 
-        got = knn_cosine_top10(sf_dir).to_pandas()
+        got = knn_cosine_top10(sf_dir)
         emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
         m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
         q = _query_vector(sf_dir)
