@@ -92,7 +92,9 @@ def detect_heavy_keys(counts: dict, total: int, threshold: float = 0.25) -> list
 
 
 # --- distributed flagship carry/fix kernels (SURVEY §4.2 wired into the
-# exchange path — VERDICT 'What's missing' #2). A hot entity's ts-sorted rows
+# exchange path — VERDICT 'What's missing' #2). The reference's scans assume
+# one (id, ht)-sorted frame per process (mimicUsefulFunction.R:293) — its
+# worst entity IS its wall clock. Here a hot entity's ts-sorted rows
 # are range-salted into S contiguous chunks; each chunk runs process_bucket
 # independently (parallel, the expensive part), then a cheap sequential carry
 # chain (one O(chunk) pass each) threads the O(1)-wide scan state across

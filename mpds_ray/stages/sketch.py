@@ -1,8 +1,13 @@
 """Mergeable quantile / moment summaries (VERDICT 'What's missing' #3).
 
-Every global-statistic fit in the engine (RobustScaler quantiles, median
-imputation, global percentiles — notebook cell 28, dssFunctionLibrary.R:1581)
-routes through here instead of collecting the raw column on the driver:
+Every global-statistic fit in the engine routes through here instead of
+collecting the raw column on the driver. Reference semantics being served:
+the RobustScaler(15,85) + clamp(50z+50) mPDS rescale of
+DSSL_Training_and_Evaluation.ipynb cell 28, the center/rescale of
+mimicUsefulFunction.R:122-149, the median-impute defaults of
+mimicUsefulFunction.R:583-628, and the global-quantile scaler state of
+dssFunctionLibrary.R:1581 — all of which quantile a full column in one
+process in the reference:
 
     map_batches -> per-batch summary rows (col, value, weight)
                    * small batches pass raw values through (weight 1)
