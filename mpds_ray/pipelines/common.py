@@ -25,10 +25,16 @@ def tpath(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def read(sf_dir: str, name: str, columns: list[str] | None = None):
+def read(sf_dir: str, name: str, columns: list[str] | None = None, filter_expr=None):
+    """Pruned parquet read: only ``columns`` leave storage, and an optional
+    pyarrow dataset expression is pushed to the scan (row-group / page-level
+    pruning — at 100 TB the filter must run at the read, not in a map)."""
     import ray.data as rd
 
-    return rd.read_parquet(tpath(sf_dir, name), columns=columns)
+    kwargs = {}
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
+    return rd.read_parquet(tpath(sf_dir, name), columns=columns, **kwargs)
 
 
 def read_small(sf_dir: str, name: str, columns: list[str] | None = None) -> pd.DataFrame:

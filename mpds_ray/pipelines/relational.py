@@ -17,19 +17,22 @@ from .common import partial_groupby_sum, read, read_small, round_columns, topk_d
 
 
 def q1_pricing_summary(sf_dir: str):
+    import pyarrow.dataset as pads
+
     ds = read(
         sf_dir,
         "lineitem",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount", "l_shipdate",
+            "l_extendedprice", "l_discount",
         ],
+        # M10 predicate pushed to the parquet scan (row-group pruning + exact
+        # row filter at the read; the filtered column never leaves storage)
+        filter_expr=(pads.field("l_shipdate") <= pd.Timestamp("1998-09-02")),
     )
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"] <= pd.Timestamp("1998-09-02")]
-        b = b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
-        return b.drop(columns=["l_shipdate"])
+        return b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
 
     filtered = ds.map_batches(prep, batch_format="pandas")
     agg = partial_groupby_sum(
@@ -108,14 +111,17 @@ def q3_top_orders(sf_dir: str):
     okeys = dict(zip(qualifying["o_orderkey"], qualifying["days"]))
     okeys_ref = ray.put(okeys)
 
+    import pyarrow.dataset as pads
+
     li = read(
         sf_dir, "lineitem",
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter_expr=(pads.field("l_shipdate") > pd.Timestamp("1996-03-15")),
     )
 
     def prep(b: pd.DataFrame, keys_ref=okeys_ref) -> pd.DataFrame:
         keys = ray.get(keys_ref)  # one object-store fetch per worker, cached
-        b = b[(b["l_shipdate"] > pd.Timestamp("1996-03-15")) & b["l_orderkey"].isin(keys)]
+        b = b[b["l_orderkey"].isin(keys)]
         return pd.DataFrame(
             {
                 "o_orderkey": b["l_orderkey"],
