@@ -77,6 +77,34 @@ def token_counts(sf_dir: str):
 
 TOKEN_COUNT_SQL = "SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents"
 
+# BPE-ish segmentation: alpha runs, digit runs, and single non-alnum marks —
+# the shape a byte-pair pretokenizer produces. Same regex runs in pandas
+# (Python re) and DuckDB (RE2): alternation of three simple classes only.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts_bpe(sf_dir: str):
+    """Token counting under a BPE-ish pretokenizer regex (large-scale
+    pipeline brief: whitespace + BPE-ish regex counting)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_bpe_tokens": b["text"].str.count(BPE_PATTERN).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
 
 def quality_scores(sf_dir: str):
     """length / stopword-ratio / mean-word-length quality features
@@ -553,6 +581,7 @@ def doc_fingerprints(sf_dir: str):
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
+    "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
     "doc_token_stats": doc_token_stats,
     "lang_id": lang_id,
@@ -565,6 +594,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": DEDUP_SQL,
     "token_counts": TOKEN_COUNT_SQL,
+    "token_counts_bpe": TOKEN_COUNT_BPE_SQL,
     "quality_scores": QUALITY_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,
