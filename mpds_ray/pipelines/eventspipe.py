@@ -429,12 +429,17 @@ def user_set_ops(sf_dir: str):
     ev = read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("user_id")["event_type"].agg(
-            has_purchase=lambda s: int((s == "purchase").any()),
-            has_error=lambda s: int((s == "error").any()),
-            has_signup=lambda s: int((s == "signup").any()),
+        # vectorized flag columns, one grouped max (no per-group lambdas)
+        et = b["event_type"].to_numpy()
+        f = pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "has_purchase": (et == "purchase").astype(np.int64),
+                "has_error": (et == "error").astype(np.int64),
+                "has_signup": (et == "signup").astype(np.int64),
+            }
         )
-        return g.reset_index()
+        return f.groupby("user_id", as_index=False, sort=False).max()
 
     from ray.data.aggregate import Max
 

@@ -220,21 +220,44 @@ class LangId:
     }
 
     def __init__(self):
-        self.sets = {k: frozenset(v) for k, v in self.PROFILES.items()}
+        # per-language Arrow value sets compiled once per actor
+        self.langs = sorted(k for k, v in self.PROFILES.items() if v)
+        self.value_sets = {k: pa.array(list(self.PROFILES[k])) for k in self.langs}
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        def pred(text: str) -> str:
-            ws = text.split(" ")
-            scores = {k: sum(w in s for w in ws) for k, s in self.sets.items() if s}
-            best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-            return best[0] if best[1] > 0 else "und"
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # segment-vectorized: one split, one is_in per language, reduceat —
+        # no per-row Python (r1 used a per-doc Python predicate)
+        import pyarrow.compute as pc
 
-        return pd.DataFrame({"doc_id": b["doc_id"], "lang_pred": b["text"].map(pred)})
+        text = batch["text"].combine_chunks()
+        words = pc.split_pattern(text, " ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = words.flatten()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        scores = np.stack(
+            [
+                np.add.reduceat(
+                    pc.is_in(flat, value_set=self.value_sets[k])
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    offs[:-1],
+                )
+                for k in self.langs
+            ]
+        )  # (n_langs, n_docs); langs sorted ascending
+        # argmax with the reference tie-break max(score, lang): on ties the
+        # lexicographically LARGEST language wins -> scan langs in REVERSE
+        best = (scores.shape[0] - 1) - np.argmax(scores[::-1], axis=0)
+        pred = np.where(
+            scores.max(axis=0) > 0, np.array(self.langs, dtype=object)[best], "und"
+        )
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(pred.astype(str))})
 
 
 def lang_id(sf_dir: str):
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2)
 
 
 def _lang_count_expr(words: tuple[str, ...]) -> str:
