@@ -156,3 +156,67 @@ class TestDistributedSalting:
         # no heavy key at a higher threshold
         spec2, n2 = detect_salt_spec(shards, "doc_id", "ts", 8, threshold=0.9, min_rows=0)
         assert spec2 == {} and n2 == 0
+
+
+class TestCarryChainNaNEdges:
+    """Kernel-level salted-chunk replay with NaN stat values: splitting one
+    entity's process_bucket output at arbitrary points and replaying via
+    chunk_carry_info/fold_carry/flagship_apply_carry must reproduce the
+    unsplit output byte-for-byte (pandas cummax NaN rows, nan_to_num'd
+    trapezoid areas, LOCF prefix fills)."""
+
+    def _entity_frame(self, n=400, nan_frac=0.15, seed=3):
+        rng = np.random.default_rng(seed)
+        t = np.cumsum(rng.exponential(40.0, n))
+        stat = rng.normal(10, 3, n)
+        stat[rng.random(n) < nan_frac] = np.nan
+        left = pd.DataFrame(
+            {
+                "doc_id": "e0",
+                "ts": t,
+                "source": "s",
+                "n_tok": np.int32(8),
+                "tok_mean": stat,
+            }
+        )
+        k = 6
+        right = pd.DataFrame(
+            {
+                "doc_id": "e0",
+                "ts": np.sort(rng.uniform(0, t[-1], k)),
+                "score": rng.normal(50, 10, k),
+                "_side": 1,
+            }
+        )
+        return left, right
+
+    @pytest.mark.parametrize("cuts", [[100, 250], [1], [399], [50, 100, 150, 200, 399]])
+    def test_split_replay_byte_identical(self, cuts):
+        from mpds_ray.pipelines.flagship import process_bucket
+        from mpds_ray.stages.salted import (
+            chunk_carry_info,
+            flagship_apply_carry,
+            fold_carry,
+        )
+
+        gap, tol = 200.0, 500.0
+        left, right = self._entity_frame()
+        want = process_bucket(
+            left, right, "doc_id", "ts", gap, tol, ["tok_mean"], bucket_id=0
+        ).reset_index(drop=True)
+
+        bounds = [0] + cuts + [len(left)]
+        chunks = [left.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+        feats = [
+            process_bucket(c, right, "doc_id", "ts", gap, tol, ["tok_mean"], bucket_id=0)
+            for c in chunks
+        ]
+        infos = [chunk_carry_info(f, "ts", "tok_mean") for f in feats]
+        carry = None
+        fixed = []
+        for k, (f, info) in enumerate(zip(feats, infos)):
+            nxt = next((infos[j]["first_ts"] for j in range(k + 1, len(infos)) if infos[j]), None)
+            fixed.append(flagship_apply_carry(f, carry, nxt, "ts", "tok_mean", gap))
+            carry = fold_carry(carry, info, gap)
+        got = pd.concat([f for f in fixed if f is not None and len(f)], ignore_index=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
