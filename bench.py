@@ -199,6 +199,12 @@ def scaling() -> None:
     best_pair = min(pairs, key=lambda p: p[0]["value"] + p[1]["value"])
     r_lo, r_hi = best_pair
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # second selection criterion: the pair whose HI run was fastest — the hi
+    # level needs the most free cores, so its quiet window is the strongest
+    # both-quiet signal (combined-wall can select windows where the LO level
+    # was fast precisely because the host was starving wide jobs)
+    bh_lo, bh_hi = min(pairs, key=lambda p: p[1]["value"])
+    eff_best_hi = (bh_lo["value"] / bh_hi["value"]) / (hi / lo)
     print(
         json.dumps(
             {
@@ -211,6 +217,7 @@ def scaling() -> None:
                 "n_sequences": r_lo["n_sequences"],
                 "fixture": FIXTURE,
                 "salt": SALT,
+                "eff_best_hi_pair": round(eff_best_hi, 3),
                 "trials": [
                     {f"sec_{lo}": a["value"], f"sec_{hi}": b["value"],
                      "eff": round((a["value"] / b["value"]) / (hi / lo), 3)}
