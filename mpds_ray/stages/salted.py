@@ -176,21 +176,6 @@ def fold_carry(carry: dict | None, info: dict | None, gap: float) -> dict | None
     }
 
 
-def flagship_chunk_carry(
-    carry: dict | None,
-    df,
-    ts_col: str,
-    stat_col: str,
-    gap: float,
-    score_col: str = "score_asof",
-    session_col: str = "session_seq",
-) -> dict | None:
-    """Carry-out state after one single-entity chunk, given the carry-in
-    (info + fold in one step; the distributed path splits them so the fold
-    runs driver-side over compact summaries)."""
-    return fold_carry(carry, chunk_carry_info(df, ts_col, stat_col, score_col, session_col), gap)
-
-
 def flagship_apply_carry(
     df,
     carry: dict | None,
