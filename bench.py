@@ -150,6 +150,39 @@ def main() -> None:
     ray.shutdown()
 
 
+def _control_efficiency(lo: int, hi: int) -> float:
+    """Pure-compute host ceiling: N independent single-thread matmul tasks
+    via multiprocessing at the two levels. This is what ANY perfectly
+    parallel program could achieve on this host in this window — co-tenant
+    load on the shared box caps it well below 1.0 in busy eras (measured
+    0.48-0.97 across windows). Published next to each flagship pair so the
+    engine's scaling can be read against the host's, not against a vacuum."""
+    import multiprocessing as mp
+
+    def rate(n: int) -> float:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(n, initializer=_control_init) as p:
+            t0 = time.perf_counter()
+            p.map(_control_task, range(n * 3))
+            return n * 3 / (time.perf_counter() - t0)
+
+    r_lo, r_hi = rate(lo), rate(hi)
+    return (r_hi / r_lo) / (hi / lo)
+
+
+def _control_init():
+    os.environ["OMP_NUM_THREADS"] = "1"
+
+
+def _control_task(_):
+    import numpy as np
+
+    a = np.random.default_rng(0).normal(size=(600, 600))
+    for _ in range(30):
+        a = a @ a * 1e-3
+    return 0
+
+
 def scaling() -> None:
     # pre-generate the shared fixture once so both runs read the same input
     from mpds_ray.synth import cached_fixture_dir
@@ -193,11 +226,13 @@ def scaling() -> None:
     # with the smallest combined wall (the both-quiet proxy, the r1
     # protocol), with every trial published alongside.
     pairs: list[tuple[dict, dict]] = []
+    controls: list[float] = []
     for _ in range(trials):
         pairs.append((run_once(lo), run_once(hi)))
+        controls.append(round(_control_efficiency(lo, hi), 3))
         time.sleep(2)
-    best_pair = min(pairs, key=lambda p: p[0]["value"] + p[1]["value"])
-    r_lo, r_hi = best_pair
+    best_idx = min(range(len(pairs)), key=lambda i: pairs[i][0]["value"] + pairs[i][1]["value"])
+    r_lo, r_hi = pairs[best_idx]
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     # second selection criterion: the pair whose HI run was fastest — the hi
     # level needs the most free cores, so its quiet window is the strongest
@@ -218,6 +253,9 @@ def scaling() -> None:
                 "fixture": FIXTURE,
                 "salt": SALT,
                 "eff_best_hi_pair": round(eff_best_hi, 3),
+                "host_control_eff": controls[best_idx],
+                "host_control_eff_all": controls,
+                "eff_vs_host_ceiling": round(eff / max(controls[best_idx], 1e-9), 3),
                 "trials": [
                     {f"sec_{lo}": a["value"], f"sec_{hi}": b["value"],
                      "eff": round((a["value"] / b["value"]) / (hi / lo), 3)}
