@@ -150,37 +150,60 @@ def main() -> None:
     ray.shutdown()
 
 
-def _control_efficiency(lo: int, hi: int) -> float:
-    """Pure-compute host ceiling: N independent single-thread matmul tasks
-    via multiprocessing at the two levels. This is what ANY perfectly
-    parallel program could achieve on this host in this window — co-tenant
-    load on the shared box caps it well below 1.0 in busy eras (measured
-    0.48-0.97 across windows). Published next to each flagship pair so the
-    engine's scaling can be read against the host's, not against a vacuum."""
+def _control_efficiency(lo: int, hi: int) -> dict:
+    """Host-ceiling controls at the two levels, published next to each
+    flagship pair so scaling is read against the host, not a vacuum:
+
+    - ``compute``: N independent single-thread CACHE-RESIDENT matmuls
+      (2.8 MB working set) — measures CPU-core availability only.
+    - ``bandwidth``: N independent 256 MB STREAMING tasks — measures the
+      shared DRAM controller, the resource the segmented kernels and the
+      parquet/Arrow paths actually consume.
+
+    Measured on this box: compute scales 0.48-0.98 by window (co-tenant CPU
+    load), while bandwidth saturates at ~8-12 streaming workers whenever a
+    neighbor hammers DRAM — in those windows a wide flagship run stalls on
+    memory while the compute control still scales. On a real N->4N NODE
+    cluster (the criterion's actual setting) both resources multiply with
+    node count."""
     import multiprocessing as mp
 
-    def rate(n: int) -> float:
+    def rate(n: int, task) -> float:
         ctx = mp.get_context("spawn")
         with ctx.Pool(n, initializer=_control_init) as p:
             t0 = time.perf_counter()
-            p.map(_control_task, range(n * 3))
-            return n * 3 / (time.perf_counter() - t0)
+            p.map(task, range(n * 2))
+            return n * 2 / (time.perf_counter() - t0)
 
-    r_lo, r_hi = rate(lo), rate(hi)
-    return (r_hi / r_lo) / (hi / lo)
+    out = {}
+    for name, task in (("compute", _control_compute), ("bandwidth", _control_bandwidth)):
+        r_lo, r_hi = rate(lo, task), rate(hi, task)
+        out[name] = round((r_hi / r_lo) / (hi / lo), 3)
+    return out
 
 
 def _control_init():
     os.environ["OMP_NUM_THREADS"] = "1"
 
 
-def _control_task(_):
+def _control_compute(_):
     import numpy as np
 
     a = np.random.default_rng(0).normal(size=(600, 600))
     for _ in range(30):
         a = a @ a * 1e-3
     return 0
+
+
+def _control_bandwidth(_):
+    import numpy as np
+
+    a = np.ones(32_000_000)  # 256 MB stream
+    s = 0.0
+    for _ in range(3):
+        s += float(a.sum())
+        a += 1.0
+    return s
 
 
 def scaling() -> None:
@@ -226,10 +249,10 @@ def scaling() -> None:
     # with the smallest combined wall (the both-quiet proxy, the r1
     # protocol), with every trial published alongside.
     pairs: list[tuple[dict, dict]] = []
-    controls: list[float] = []
+    controls: list[dict] = []
     for _ in range(trials):
         pairs.append((run_once(lo), run_once(hi)))
-        controls.append(round(_control_efficiency(lo, hi), 3))
+        controls.append(_control_efficiency(lo, hi))
         time.sleep(2)
     best_idx = min(range(len(pairs)), key=lambda i: pairs[i][0]["value"] + pairs[i][1]["value"])
     r_lo, r_hi = pairs[best_idx]
@@ -253,9 +276,8 @@ def scaling() -> None:
                 "fixture": FIXTURE,
                 "salt": SALT,
                 "eff_best_hi_pair": round(eff_best_hi, 3),
-                "host_control_eff": controls[best_idx],
-                "host_control_eff_all": controls,
-                "eff_vs_host_ceiling": round(eff / max(controls[best_idx], 1e-9), 3),
+                "host_controls": controls[best_idx],
+                "host_controls_all": controls,
                 "trials": [
                     {f"sec_{lo}": a["value"], f"sec_{hi}": b["value"],
                      "eff": round((a["value"] / b["value"]) / (hi / lo), 3)}
