@@ -25,6 +25,33 @@ def tpath(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def shard_list(sf_dir: str, name: str) -> list[str]:
+    """Parquet shard paths for a table: the 100-TB layout is a DIRECTORY of
+    shards (one read/map task per file); a single file degrades to [file]."""
+    import glob
+    import os
+
+    path = tpath(sf_dir, name)
+    if os.path.isdir(path):
+        return sorted(glob.glob(f"{path}/*.parquet"))
+    return [path]
+
+
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet METADATA only (no scan) — sums over shard files
+    when the table is a directory (``pq.read_metadata`` on a directory raises
+    OSError — ADVICE r2)."""
+    return sum(pq.read_metadata(p).num_rows for p in shard_list(sf_dir, name))
+
+
+def table_num_bytes(sf_dir: str, name: str) -> int:
+    """On-disk (compressed) byte size of a table's shards — the input-size
+    signal bucket-count derivation uses."""
+    import os
+
+    return sum(os.path.getsize(p) for p in shard_list(sf_dir, name))
+
+
 def read(sf_dir: str, name: str, columns: list[str] | None = None, filter_expr=None):
     """Pruned parquet read: only ``columns`` leave storage, and an optional
     pyarrow dataset expression is pushed to the scan (row-group / page-level

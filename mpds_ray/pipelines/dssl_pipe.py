@@ -39,11 +39,9 @@ def build_design_matrix(sf_dir: str, row_cap: int = TRAIN_ROW_CAP) -> pd.DataFra
     deterministic user-hash slice is taken so the collect stays bounded and
     seed-stable; scoring remains fully distributed (the tested Scorer actor).
     At driver/test scale every row survives, so outputs are reproducible."""
-    import pyarrow.parquet as pq
+    from .common import table_num_rows
 
-    from .common import tpath
-
-    n_rows = pq.read_metadata(tpath(sf_dir, "events")).num_rows
+    n_rows = table_num_rows(sf_dir, "events")
     mod = max(1, int(np.ceil(n_rows / row_cap)))
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:

@@ -66,16 +66,12 @@ def _per_bucket_events(sf_dir: str, columns: list[str], fn, num_buckets: int = N
     tasks sort their bucket (user_id, ts, event_id) and run the scan. Same
     semantics as ``_per_bucket(_events_sorted(...), fn)`` (tested) without
     the Dataset sort-shuffle's fixed ~2-3 s driver barrier per query."""
-    import glob
-    import os
-
     import pyarrow as pa
 
     from ..stages.exchange import hash_exchange
-    from .common import tpath
+    from .common import shard_list
 
-    path = tpath(sf_dir, "events")
-    shards = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
+    shards = shard_list(sf_dir, "events")
     cols = list(dict.fromkeys(columns + ["user_id", "ts", "event_id"]))
 
     def map_fn(t: pa.Table) -> pa.Table:

@@ -61,11 +61,9 @@ def _embedding_sample(sf_dir: str, target: int = 2048) -> np.ndarray:
     mod is sized from parquet metadata so ~``target`` rows survive. The full
     table is never collected (the r1 driver-side collect was a scale-killer,
     VERDICT 'What's wrong' #3)."""
-    import pyarrow.parquet as pq
+    from .common import table_num_rows
 
-    from .common import tpath
-
-    n = pq.read_metadata(tpath(sf_dir, "embeddings")).num_rows
+    n = table_num_rows(sf_dir, "embeddings")
     mod = max(1, n // target)
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 

@@ -138,7 +138,11 @@ def q3_top_orders(sf_dir: str):
         keys = ray.get(keys_ref)
         b["o_orderdate_days"] = b["o_orderkey"].map(keys).astype(np.int64)
         b["revenue"] = b["revenue"].round(2)
-        return b.nlargest(10, "revenue")  # partial top-k per block
+        # tie-AWARE partial top-k: sort by the FULL final key so a rank-10
+        # revenue tie cannot drop the row the final sort would keep (ADVICE r2)
+        return b.sort_values(
+            ["revenue", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
 
     out = rev.map_batches(attach_date, batch_format="pandas")
     return topk_driver(out, 10, ["revenue", "o_orderkey"], [False, True])
@@ -154,7 +158,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < DATE '1998-03-15'
   AND l_shipdate  > DATE '1996-03-15'
 GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC
+ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """
 
@@ -208,7 +212,10 @@ def top_customers_by_max_order(sf_dir: str):
     def attach(b: pd.DataFrame) -> pd.DataFrame:
         b["c_name"] = b["o_custkey"].map(nmap)
         b["max_order_price"] = b["max_order_price"].round(2)
-        return b.nlargest(10, "max_order_price")  # partial top-k per block
+        # tie-aware partial top-k (full final key, see q3 — ADVICE r2)
+        return b.sort_values(
+            ["max_order_price", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
 
     return topk_driver(
         per_cust.map_batches(attach, batch_format="pandas"),

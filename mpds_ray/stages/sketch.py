@@ -74,7 +74,12 @@ def quantile_summary_stage(ds, cols: list[str], raw_limit: int = RAW_LIMIT, k: i
             frames.append(pd.DataFrame({"col": c, "value": val, "weight": wt}))
         return pd.concat(frames, ignore_index=True)
 
-    return ds.map_batches(partial, batch_format="pandas", batch_size=max(raw_limit, 1024))
+    # batch_size must EXCEED raw_limit or the compression branch is dead code
+    # and the driver silently collects the whole column as unit-weight rows
+    # (ADVICE r2). 4x: batches above raw_limit compress 256:1 to K points;
+    # inputs small enough to fit one sub-raw_limit batch stay on the exact
+    # path the sf0.01 oracle gate requires.
+    return ds.map_batches(partial, batch_format="pandas", batch_size=4 * max(raw_limit, 1024))
 
 
 def column_quantiles(

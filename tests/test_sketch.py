@@ -51,12 +51,20 @@ class TestDistributedQuantiles:
 
     def test_sketch_path_error_bound(self, ray_session):
         """Force the sketch path (tiny raw_limit) on a 1M-row skewed column:
-        the merged estimate must be within ~1/(2K) rank error of exact."""
+        the merged estimate must be within ~1/(2K) rank error of exact, AND
+        the driver-side summary must actually be compressed (the r2 stage's
+        batch_size <= raw_limit made the compression branch dead code and
+        collected the raw column — ADVICE r2)."""
         import ray.data as rd
+
+        from mpds_ray.stages.sketch import quantile_summary_stage
 
         rng = np.random.default_rng(3)
         v = rng.lognormal(sigma=2.0, size=1_000_000)
         ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+        parts = quantile_summary_stage(ds, ["x"], raw_limit=10_000, k=2048).to_pandas()
+        assert len(parts) < 200_000, "summary not compressed: driver got raw column"
+        assert (parts["weight"] > 1).any(), "no batch took the compression branch"
         got = column_quantiles(ds, ["x"], [0.5, 0.9, 0.99], raw_limit=10_000, k=2048)["x"]
         sv = np.sort(v)
         for q, est in zip((0.5, 0.9, 0.99), got):
