@@ -56,12 +56,17 @@ def exchange_map(
     num_buckets: int,
     map_num_cpus: float = 1.0,
     columns: list[str] | None = None,
+    filters=None,
 ) -> list[list["ray.ObjectRef"]]:
     """Map phase only: one task per shard, ``bucket_fn`` assigns each row a
     bucket in [0, num_buckets); returns ``refs[s][b]`` = the slice of shard s
     destined for bucket b (each its own object — fetched only by its
     consumer). Callers drive the reduce side (the flagship's salted path
-    needs a carry/fix protocol rather than a flat reduce)."""
+    needs a carry/fix protocol rather than a flat reduce).
+
+    ``columns`` prunes the shard read; ``filters`` (a pyarrow dataset
+    expression) pushes a row predicate into the scan — row-group pruning at
+    the read, so filtered rows never leave storage."""
 
     import inspect
 
@@ -71,7 +76,7 @@ def exchange_map(
     def map_shard(path: str):
         import pyarrow.parquet as pq
 
-        raw = pq.read_table(path, columns=columns)
+        raw = pq.read_table(path, columns=columns, filters=filters)
         t = map_fn(raw, path) if map_takes_path else map_fn(raw)
         bucket = bucket_fn(t)
         parts = _split_by_bucket(t, bucket, num_buckets)

@@ -62,6 +62,26 @@ class TestMinHash:
         got = out.loc[(out["doc_a"] == 0) & (out["doc_b"] == 40), "jaccard"].iloc[0]
         assert got > 0.7
 
+    def test_pairwise_jaccard_kernel_matches_loop(self):
+        """The exchange-routed verify kernel (vectorized, no per-pair loop)
+        must equal the naive per-pair intersect1d reference on random
+        sorted-unique sets, including disjoint and identical pairs."""
+        from mpds_ray.pipelines.text import _pairwise_jaccard
+
+        sets = [
+            np.unique(rng.integers(0, 200, rng.integers(1, 60)).astype(np.uint64))
+            for _ in range(30)
+        ]
+        sets.append(sets[0].copy())  # identical pair target
+        sets.append(np.array([10**6], dtype=np.uint64))  # disjoint target
+        flat = np.concatenate(sets)
+        offs = np.r_[0, np.cumsum([s.size for s in sets])]
+        pa_idx = np.array([0, 3, 7, 0, 5, 30], dtype=np.int64)
+        pb_idx = np.array([30, 4, 8, 31, 5, 31], dtype=np.int64)
+        got = _pairwise_jaccard(flat, offs, pa_idx, pb_idx)
+        want = np.array([jaccard(sets[i], sets[j]) for i, j in zip(pa_idx, pb_idx)])
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
 
 class TestSimHash:
     def test_deterministic(self):
