@@ -60,7 +60,9 @@ def _per_bucket(ds, fn, num_buckets: int = NUM_BUCKETS):
     )
 
 
-def _per_bucket_events(sf_dir: str, columns: list[str], fn, num_buckets: int = NUM_BUCKETS):
+def _per_bucket_events(
+    sf_dir: str, columns: list[str], fn, num_buckets: int | None = None
+):
     """The events-table bucket scan over the explicit hash exchange: map
     tasks read pruned shard columns and convert ts to epoch seconds; reduce
     tasks sort their bucket (user_id, ts, event_id) and run the scan. Same
@@ -72,6 +74,12 @@ def _per_bucket_events(sf_dir: str, columns: list[str], fn, num_buckets: int = N
     from .common import shard_list
 
     shards = shard_list(sf_dir, "events")
+    if num_buckets is None:
+        # derive B from input bytes (bucket ~ task-memory budget); floor at
+        # the r2 constant so small-scale plans are unchanged
+        from ..stages.exchange import auto_num_buckets
+
+        num_buckets = auto_num_buckets(shards, min_buckets=NUM_BUCKETS)
     cols = list(dict.fromkeys(columns + ["user_id", "ts", "event_id"]))
 
     def map_fn(t: pa.Table) -> pa.Table:

@@ -255,6 +255,114 @@ def run_flagship(
     )
 
 
+def scan_chunks_with_carry(
+    chunks,
+    right: pd.DataFrame,
+    entity: str,
+    ts: str,
+    session_gap: float,
+    tolerance: float | None,
+    stat_cols: list[str],
+    bucket_id: int,
+    emit,
+) -> None:
+    """Streaming per-bucket scan: consume (entity, ts)-sorted bounded chunks
+    (stages/chunked.sorted_run_merge) SEQUENTIALLY, running ``process_bucket``
+    per chunk and threading the O(1) boundary state with the salted carry/fix
+    kernels — generalized from the single-hot-entity salted path to arbitrary
+    chunk boundaries: only the entity straddling a boundary needs fixing, and
+    it is by construction the chunk's first (prefix) / last (suffix) entity.
+    Peak memory is TWO chunks (current + the pending one held back so its
+    last row's ``secs_to_next`` can see the next chunk), never the bucket.
+    Output is byte-identical to the flat whole-bucket ``process_bucket``
+    (tests/test_chunked.py). ``emit(df)`` receives finished frames in order.
+    """
+    from ..stages.salted import chunk_carry_info, flagship_apply_carry, fold_carry
+
+    carry_e, carry = None, None  # boundary entity + its folded scan state
+    pending: pd.DataFrame | None = None
+    pending_last_e = None
+    for chunk in chunks:
+        if not len(chunk):
+            continue
+        feats = process_bucket(
+            chunk, right, entity, ts, session_gap, tolerance, stat_cols,
+            bucket_id=bucket_id,
+        )
+        ids = feats[entity].to_numpy()
+        first_e, last_e = ids[0], ids[-1]
+        # carry-OUT summary must reflect LOCAL (pre-fix) scan state — session
+        # ids are local ordinals until the carry offset is applied (the salted
+        # phase-1 computes its info pre-fix for the same reason)
+        n_suf = int((ids == last_e).sum())
+        info = chunk_carry_info(feats.iloc[len(feats) - n_suf :], ts, stat_cols[0])
+        # patch the held-back frame's tail lag and release it
+        if pending is not None:
+            if pending_last_e == first_e:
+                stn = pending["secs_to_next"].to_numpy().astype(np.float64)
+                stn[-1] = float(feats[ts].iloc[0]) - float(pending[ts].iloc[-1])
+                pending["secs_to_next"] = stn
+            emit(pending)
+        # apply carry-in to the prefix belonging to the boundary entity
+        if carry is not None and first_e == carry_e:
+            n_pre = int((ids == first_e).sum())
+            fixed = flagship_apply_carry(
+                feats.iloc[:n_pre], carry, None, ts, stat_cols[0], session_gap
+            )
+            feats = (
+                pd.concat([fixed, feats.iloc[n_pre:]], ignore_index=True)
+                if n_pre < len(feats)
+                else fixed.reset_index(drop=True)
+            )
+        # fold carry-out: chain only when the WHOLE chunk continues carry_e
+        if carry is not None and first_e == last_e and first_e == carry_e:
+            carry = fold_carry(carry, info, session_gap)
+        else:
+            carry = fold_carry(None, info, session_gap)
+        carry_e = last_e
+        pending, pending_last_e = feats, last_e
+    if pending is not None:
+        emit(pending)
+
+
+class ChunkPartitionSink:
+    """Incremental per-bucket sink: streams chunk frames into ONE parquet
+    partition via ParquetWriter (tmp + atomic rename at close), folding the
+    manifest checksum chunk-by-chunk (the XOR row-hash checksum is
+    order/merge-insensitive, so the folded value equals the whole-frame
+    checksum the flat path records)."""
+
+    def __init__(self, out_dir: str, bucket_id: int):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        self.final = os.path.join(out_dir, f"part-{bucket_id}.parquet")
+        self.tmp = self.final + f".tmp.{os.getpid()}"
+        self.writer = None
+        self.rows = 0
+        self.checksum = 0
+
+    def emit(self, df: pd.DataFrame) -> None:
+        import pyarrow.parquet as _pq
+
+        body = df.drop(columns=[_BUCKET], errors="ignore")
+        tbl = pa.Table.from_pandas(body, preserve_index=False)
+        if self.writer is None:
+            self.writer = _pq.ParquetWriter(self.tmp, tbl.schema)
+        self.writer.write_table(tbl)
+        self.rows += len(body)
+        self.checksum ^= frame_checksum(body)
+
+    def close(self) -> bool:
+        import os
+
+        if self.writer is None:
+            return False
+        self.writer.close()
+        os.replace(self.tmp, self.final)
+        return True
+
+
 def detect_salt_spec(
     shards: list[str],
     entity: str,
@@ -335,13 +443,14 @@ def run_flagship_exchange(
     ts: str = "ts",
     session_gap: float = 300.0,
     tolerance: float | None = 86_400.0,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     stats: tuple[str, ...] = NARROW_STATS,
     heavy: bool = False,
     wide_out_dir: str | None = None,
     salt: bool = True,
     salt_threshold: float = 0.2,
     salt_min_rows: int = 1_000_000,
+    chunk_rows: int | None = None,
 ) -> pd.DataFrame:
     """Flagship on the explicit two-stage hash exchange (stages.exchange):
     map tasks fuse read + windowed stats + bucket split; reduce tasks fuse
@@ -350,6 +459,12 @@ def run_flagship_exchange(
 
     Returns per-partition summary rows (or the features when out_dir=None).
     Produces byte-identical partitions to ``run_flagship`` (tested).
+
+    ``chunk_rows`` enables the BOUNDED-MEMORY reduce (VERDICT r2 top item):
+    map slices arrive as sorted sub-chunk objects, each reduce streams a
+    k-way merge in ~chunk_rows chunks, scans with carry state
+    (``scan_chunks_with_carry``) and sinks incrementally — peak reduce heap
+    is two chunks, not the bucket, with byte-identical output (tested).
     """
     import glob
 
@@ -361,6 +476,13 @@ def run_flagship_exchange(
     shards = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
     if not shards:
         shards = [tokens_dir]
+    if num_buckets is None:
+        # bucket count derived from input bytes: per-reduce bucket targets a
+        # task-memory budget instead of a constant B (VERDICT r2 top item);
+        # floor 64 keeps the small/bench plans identical to the r2 protocol
+        from ..stages.exchange import auto_num_buckets
+
+        num_buckets = auto_num_buckets(shards, min_buckets=64)
     scores_df = pq.read_table(scores_path).to_pandas()
     scores_df[_SIDE] = 1
     scores_ref = ray.put(scores_df)
@@ -423,6 +545,45 @@ def run_flagship_exchange(
         )
         return sink_partition(feats, b)
 
+    @ray.remote
+    def reduce_chunked(b: int, *parts) -> pd.DataFrame:
+        """Bounded-memory reduce: stream-merge the sorted runs and scan with
+        carry; sink incrementally. Heap = O(chunk), not O(bucket)."""
+        import time as _time
+
+        from ..stages.chunked import ray_run_iter, sorted_run_merge
+
+        runs = [ray_run_iter(p) for p in parts]
+        chunks = sorted_run_merge(runs, entity, ts, chunk_rows)
+        scores = ray.get(scores_ref)
+        sbuck = stable_bucket(scores[entity].to_numpy(), num_buckets)
+        right = scores[sbuck == b]
+        if out_dir is None:
+            acc: list = []
+            scan_chunks_with_carry(
+                chunks, right, entity, ts, session_gap, tolerance, stat_cols, b,
+                acc.append,
+            )
+            return pd.concat(acc, ignore_index=True) if acc else pd.DataFrame()
+        if b in done:
+            for _ in chunks:  # noqa: B007 — drop the stream, partition done
+                break
+            return pd.DataFrame({"partition_id": [b], "rows": [0], "skipped": [True]})
+        t0 = _time.perf_counter()
+        csink = ChunkPartitionSink(out_dir, b)
+        scan_chunks_with_carry(
+            chunks, right, entity, ts, session_gap, tolerance, stat_cols, b,
+            csink.emit,
+        )
+        if not csink.close():
+            return pd.DataFrame()  # empty bucket, same as the flat path
+        Manifest(manifest_file).append(
+            "flagship", b, csink.rows, csink.checksum, _time.perf_counter() - t0
+        )
+        return pd.DataFrame(
+            {"partition_id": [b], "rows": [csink.rows], "skipped": [False]}
+        )
+
     spec: dict = {}
     n_extra = 0
     if salt:
@@ -430,12 +591,47 @@ def run_flagship_exchange(
             shards, entity, ts, num_buckets, threshold=salt_threshold,
             min_rows=salt_min_rows,
         )
-    if not spec:
+    if not spec and chunk_rows is None:
         return hash_exchange(shards, map_fn, entity, num_buckets, reduce_fn)
+    if not spec:
+        from ..stages.exchange import exchange_map
+
+        def bucket_fn(t: pa.Table) -> np.ndarray:
+            return stable_bucket(t[entity].to_numpy(zero_copy_only=False), num_buckets)
+
+        refs = exchange_map(
+            shards, map_fn, bucket_fn, num_buckets,
+            sort_keys=[entity, ts], chunk_rows=chunk_rows,
+        )
+        out = ray.get(
+            [
+                reduce_chunked.remote(b, *[refs[s][b] for s in range(len(shards))])
+                for b in range(num_buckets)
+            ]
+        )
+        frames = [f for f in out if len(f)]
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     return _run_salted_exchange(
         shards, map_fn, reduce_fn, sink_partition, scores_ref, spec, n_extra,
         entity, ts, session_gap, tolerance, stat_cols, num_buckets,
+        chunk_rows=chunk_rows, reduce_chunked=reduce_chunked,
     )
+
+
+def _gather_parts(parts) -> list[pa.Table]:
+    """Materialize one bucket's map outputs: flat tables pass through; lists
+    of sub-chunk refs (chunked map protocol) are fetched. Used only by the
+    salted hot-entity phase, whose per-bucket size is already bounded by the
+    salt range split."""
+    import ray
+
+    tables: list[pa.Table] = []
+    for p in parts:
+        if isinstance(p, list):
+            tables.extend(t for t in ray.get(p) if t.num_rows)
+        elif p.num_rows:
+            tables.append(p)
+    return tables
 
 
 def _run_salted_exchange(
@@ -452,6 +648,8 @@ def _run_salted_exchange(
     tolerance: float | None,
     stat_cols: list[str],
     num_buckets: int,
+    chunk_rows: int | None = None,
+    reduce_chunked=None,
 ) -> pd.DataFrame:
     """The salted exchange (SURVEY §4.2, VERDICT 'What's missing' #2):
 
@@ -486,18 +684,22 @@ def _run_salted_exchange(
                 ).astype(bucket.dtype)
         return bucket
 
-    refs = exchange_map(shards, map_fn, bucket_fn, total_buckets)
+    refs = exchange_map(
+        shards, map_fn, bucket_fn, total_buckets,
+        sort_keys=[entity, ts] if chunk_rows is not None else None,
+        chunk_rows=chunk_rows,
+    )
 
     @ray.remote
     def reduce_unsalted(b: int, *parts: pa.Table):
-        nonempty = [p for p in parts if p.num_rows]
+        nonempty = _gather_parts(parts)
         if not nonempty:
             return pd.DataFrame()
         return reduce_fn(b, pa.concat_tables(nonempty))
 
     @ray.remote(num_returns=2)
     def phase1_chunk(b: int, e, *parts: pa.Table):
-        nonempty = [p for p in parts if p.num_rows]
+        nonempty = _gather_parts(parts)
         if not nonempty:
             return pd.DataFrame(), None
         left = pa.concat_tables(nonempty).to_pandas()
@@ -520,8 +722,9 @@ def _run_salted_exchange(
             return pd.DataFrame()
         return sink_partition(fixed, b)
 
+    normal_reduce = reduce_chunked if chunk_rows is not None else reduce_unsalted
     out_refs = [
-        reduce_unsalted.remote(b, *[refs[s][b] for s in range(len(shards))])
+        normal_reduce.remote(b, *[refs[s][b] for s in range(len(shards))])
         for b in range(num_buckets)
     ]
     for e, (off, bounds) in spec.items():

@@ -22,16 +22,18 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 # --- exact dedup (D1): first doc per identical text ---
 
 
-def dedup_exact(sf_dir: str, num_buckets: int = 8):
+def dedup_exact(sf_dir: str, num_buckets: int | None = None):
     """Exact dedup over the engine's explicit hash exchange: map tasks hash
     the text per shard (only the 64-bit content hash is shuffled, never the
     payload), reduce tasks take per-hash (min doc_id, count). The r1 Dataset
     ``groupby`` version paid the sort-shuffle's fixed ~3-4 s twice (groupby +
     trailing global sort) to produce 500 rows — VERDICT 'Next round' #5."""
-    from ..stages.exchange import hash_exchange
+    from ..stages.exchange import auto_num_buckets, hash_exchange
     from .common import shard_list
 
     shards = shard_list(sf_dir, "documents")
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(shards)
 
     def map_fn(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(t["text"].to_pandas(), index=False).astype("uint64")

@@ -38,15 +38,50 @@ import ray
 from .partition import stable_bucket
 
 
-def _split_by_bucket(table: pa.Table, bucket: np.ndarray, num_buckets: int) -> list[pa.Table]:
-    """One stable argsort + P zero-copy slices of the bucket-sorted table."""
-    order = np.argsort(bucket, kind="stable")
+def _split_by_bucket(
+    table: pa.Table,
+    bucket: np.ndarray,
+    num_buckets: int,
+    sort_keys: list[str] | None = None,
+) -> list[pa.Table]:
+    """One stable argsort + P zero-copy slices of the bucket-sorted table.
+    With ``sort_keys`` the single sort is a stable lexsort by (bucket, *keys)
+    so every slice is additionally a sorted RUN (the chunked-reduce merge
+    input); ties keep original within-shard order either way."""
+    if sort_keys:
+        keys = [table[c].to_numpy(zero_copy_only=False) for c in sort_keys]
+        order = np.lexsort((*reversed(keys), bucket))
+    else:
+        order = np.argsort(bucket, kind="stable")
     sorted_tbl = table.take(pa.array(order))
     counts = np.bincount(bucket, minlength=num_buckets)
     offsets = np.r_[0, np.cumsum(counts)]
     return [
         sorted_tbl.slice(int(offsets[b]), int(counts[b])) for b in range(num_buckets)
     ]
+
+
+def auto_num_buckets(
+    shard_paths: list[str],
+    target_task_bytes: int = 512 << 20,
+    min_buckets: int = 8,
+    max_buckets: int = 4096,
+    expansion: float = 4.0,
+) -> int:
+    """Bucket count DERIVED from input size (VERDICT r2 top item, option b):
+    ``ceil(compressed_bytes * expansion / target_task_bytes)`` clamped to
+    [min, max], so a flat reduce task's bucket targets ~``target_task_bytes``
+    in memory (``expansion`` ~= parquet decompression + pandas overhead)
+    instead of a constant B silently growing per-bucket size with the input.
+    Beyond ``max_buckets`` (where per-map object counts would explode) the
+    chunked reduce protocol (``chunk_rows``) bounds task memory instead."""
+    import math
+    import os
+
+    total = sum(os.path.getsize(p) for p in shard_paths)
+    return int(
+        min(max_buckets, max(min_buckets, math.ceil(total * expansion / target_task_bytes)))
+    )
 
 
 def exchange_map(
@@ -57,6 +92,8 @@ def exchange_map(
     map_num_cpus: float = 1.0,
     columns: list[str] | None = None,
     filters=None,
+    sort_keys: list[str] | None = None,
+    chunk_rows: int | None = None,
 ) -> list[list["ray.ObjectRef"]]:
     """Map phase only: one task per shard, ``bucket_fn`` assigns each row a
     bucket in [0, num_buckets); returns ``refs[s][b]`` = the slice of shard s
@@ -66,7 +103,13 @@ def exchange_map(
 
     ``columns`` prunes the shard read; ``filters`` (a pyarrow dataset
     expression) pushes a row predicate into the scan — row-group pruning at
-    the read, so filtered rows never leave storage."""
+    the read, so filtered rows never leave storage.
+
+    ``sort_keys`` + ``chunk_rows`` enable the BOUNDED-MEMORY reduce protocol
+    (stages/chunked.py): each bucket slice is sorted by the keys and cut into
+    <= chunk_rows sub-objects (``ray.put`` each), so ``refs[s][b]`` becomes a
+    LIST of sub-chunk refs a reduce task can fetch and release one at a time
+    instead of pinning the whole run."""
 
     import inspect
 
@@ -79,7 +122,11 @@ def exchange_map(
         raw = pq.read_table(path, columns=columns, filters=filters)
         t = map_fn(raw, path) if map_takes_path else map_fn(raw)
         bucket = bucket_fn(t)
-        parts = _split_by_bucket(t, bucket, num_buckets)
+        parts = _split_by_bucket(t, bucket, num_buckets, sort_keys=sort_keys)
+        if chunk_rows is not None:
+            from .chunked import split_chunks
+
+            parts = [[ray.put(c) for c in split_chunks(p, chunk_rows)] for p in parts]
         return tuple(parts) if num_buckets > 1 else parts[0]
 
     refs = [map_shard.remote(p) for p in shard_paths]

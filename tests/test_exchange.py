@@ -33,6 +33,43 @@ class TestSplit:
         parts = _split_by_bucket(t, np.array([2]), 4)
         assert [p.num_rows for p in parts] == [0, 0, 1, 0]
 
+    def test_sort_keys_produce_sorted_runs(self):
+        t = pa.table(
+            {
+                "e": ["b", "a", "a", "b", "a"],
+                "ts": [3.0, 2.0, 1.0, 1.0, 2.0],
+                "uid": [0, 1, 2, 3, 4],
+            }
+        )
+        bucket = np.array([0, 0, 0, 0, 0])
+        (run,) = _split_by_bucket(t, bucket, 1, sort_keys=["e", "ts"])
+        assert run["e"].to_pylist() == ["a", "a", "a", "b", "b"]
+        assert run["ts"].to_pylist() == [1.0, 2.0, 2.0, 1.0, 3.0]
+        # stable: the (a, 2.0) tie keeps original order (uid 1 before 4)
+        assert run["uid"].to_pylist() == [2, 1, 4, 3, 0]
+
+
+class TestAutoNumBuckets:
+    def test_scales_with_bytes_and_clamps(self, tmp_path):
+        from mpds_ray.stages.exchange import auto_num_buckets
+
+        p = tmp_path / "x.parquet"
+        pq.write_table(pa.table({"a": list(range(1000))}), p)
+        small = auto_num_buckets([str(p)], target_task_bytes=1 << 30, min_buckets=8)
+        assert small == 8  # tiny input -> floor
+        big = auto_num_buckets(
+            [str(p)] * 50, target_task_bytes=1024, min_buckets=8, max_buckets=64
+        )
+        assert big == 64  # would exceed -> ceiling
+        mid = auto_num_buckets(
+            [str(p)] * 10, target_task_bytes=20_000, min_buckets=2, max_buckets=10_000,
+            expansion=1.0,
+        )
+        import os
+
+        want = -(-os.path.getsize(p) * 10 // 20_000)
+        assert mid == want
+
 
 class TestExchangeFlagship:
     @pytest.fixture(scope="class")
