@@ -60,7 +60,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mpds_ray.pipelines import dssl_pipe, eventspipe, knn, relational, text
+    from mpds_ray.pipelines import dssl_pipe, eventspipe, knn, media, relational, text
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(text.QUERIES)
     out.update(knn.QUERIES)
     out.update(dssl_pipe.QUERIES)
+    out.update(media.QUERIES)
     return out
 
 

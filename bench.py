@@ -3,7 +3,7 @@
 Headline: the flagship pipeline (windowed token stats -> entity-complete
 shuffle -> sessionize -> lag/lead -> as-of join -> LOCF backfill -> resumable
 partitioned write + manifest) over the deterministic bench-scale tokens table
-(1M sequences, seed 42, cached under /tmp). Metric: wall seconds; derived
+(2M sequences, seed 42, cached under /tmp). Metric: wall seconds; derived
 sequences/sec. Also times a representative query set over $GRAFT_SF_DIR.
 
 Prints ONE JSON line:

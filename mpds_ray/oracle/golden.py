@@ -27,6 +27,7 @@ GOLDEN_QUERIES = (
     "knn_ivf_top10",
     "dssl_weights",
     "embedding_near_dups_lsh",
+    "media_decode_features",
 )
 
 

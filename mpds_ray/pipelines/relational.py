@@ -93,13 +93,18 @@ def q3_top_orders(sf_dir: str, num_buckets: int = 16):
     from ..stages.partition import stable_bucket
     from .common import shard_list
 
+    from .common import bounded_to_pandas
+
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    # bound: customer DIMENSION x segment selectivity (broadcast side)
     building = set(
-        cust.map_batches(
-            lambda b: b.loc[b["c_mktsegment"] == "BUILDING", ["c_custkey"]],
-            batch_format="pandas",
-        )
-        .to_pandas()["c_custkey"]
+        bounded_to_pandas(
+            cust.map_batches(
+                lambda b: b.loc[b["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+                batch_format="pandas",
+            ),
+            "building_custkeys",
+        )["c_custkey"]
     )
     building_ref = ray.put(building)
 
@@ -273,10 +278,15 @@ LIMIT 10
 
 
 def distinct_segments(sf_dir: str):
+    from .common import bounded_to_pandas
+
     ds = read(sf_dir, "customer", columns=["c_mktsegment"])
     # map-side distinct (bounded by domain x batches), driver union — the
     # combiner-root shape; a Dataset groupby would sort-shuffle to dedupe
-    parts = ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas").to_pandas()
+    parts = bounded_to_pandas(
+        ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
+        "distinct_segments",
+    )
     return parts.drop_duplicates().sort_values("c_mktsegment").reset_index(drop=True)
 
 

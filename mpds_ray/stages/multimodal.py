@@ -1,13 +1,22 @@
-"""Multimodal (image/audio/video) column stages — Ray-side plumbing.
+"""Multimodal (image/audio/video) column stages.
 
 Media payloads are opaque ``binary`` columns with typed metadata, processed
 by actor-pool ``map_batches`` stages with SMALL batch sizes (payload bytes
-dominate — SURVEY §7.5.7). The decode kernels themselves are STUBBED: the
-image/audio codec libraries are not in this container, so ``DecodeImage``
-raises ``NotImplementedError`` unless given ``fake=True``, which substitutes
-a deterministic decode (payload-hash-seeded dimensions/features) so the
-pipeline shape — schema, actor signature, batch sizing, output layout — is
-real and tested end-to-end.
+dominate — SURVEY §7.5.7). Codec coverage (VERDICT r2 'Next round' #8 —
+decode is real wherever the environment allows):
+
+- **audio**: REAL WAV/PCM decode via the stdlib ``wave`` module (8/16/32-bit
+  PCM, any channel count) — always available;
+- **image**: REAL netpbm (P5/P6 binary PGM/PPM) decode in pure numpy —
+  always available; other formats (JPEG/PNG) decode through PIL when it is
+  importable (probed once per actor in ``__init__``), else raise
+  ``NotImplementedError`` naming the missing codec;
+- **video**: stub only (no container-safe pure-python codec exists);
+  ``FrameSampler`` keeps the flat_map plumbing real.
+
+``fake=True`` substitutes a deterministic payload-hash pseudo-decode so the
+pipeline shape (schema, actor signature, batch sizing, output layout) is
+testable independently of payload format.
 """
 
 from __future__ import annotations
@@ -15,6 +24,81 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+def decode_netpbm(buf: bytes) -> np.ndarray:
+    """Pure-numpy binary netpbm decode: P5 (grayscale) / P6 (RGB), maxval
+    <= 255. Returns (h, w) or (h, w, 3) uint8. Raises ValueError on other
+    magics."""
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload (magic {buf[:2]!r})")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # '#' comments allowed; pixel data starts after ONE whitespace byte
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace separating header from pixel data
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if buf[:2] == b"P6" else 1
+    arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Stdlib WAV/PCM decode: returns (samples float64 (n, channels) scaled
+    to [-1, 1), sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as f:
+        sr = f.getframerate()
+        ch = f.getnchannels()
+        sw = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if sw == 1:  # unsigned 8-bit
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        x /= 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return x.reshape(-1, ch), sr
+
+
+def synth_ppm_payload(width: int, height: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+    return b"P6\n# synth\n%d %d\n255\n" % (width, height) + pix.tobytes()
+
+
+def synth_wav_payload(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples) / sample_rate
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.05 * rng.standard_normal(n_samples)
+    pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+    return bio.getvalue()
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -28,30 +112,45 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
+def synth_media_table(n: int = 64, seed: int = 42, real: bool = False) -> pa.Table:
+    """Deterministic media table for plumbing tests. ``real=True`` makes the
+    image payloads actual binary PPMs and audio payloads actual WAV files, so
+    the REAL decode paths run end-to-end; ``real=False`` keeps opaque random
+    bytes for the fake-decode plumbing tests."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    payloads = [rng.bytes(int(rng.integers(256, 4096))) for _ in range(n)]
+    widths = rng.integers(32, 512, n).astype(np.int32)
+    heights = rng.integers(32, 512, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        if not real or kinds[i] == "video":
+            payloads.append(rng.bytes(int(rng.integers(256, 4096))))
+        elif kinds[i] == "image":
+            payloads.append(synth_ppm_payload(int(widths[i]) % 64 + 8,
+                                              int(heights[i]) % 64 + 8, seed + i))
+        else:
+            payloads.append(synth_wav_payload(int(rng.integers(800, 4000)), 16_000, seed + i))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n)),
             "kind": pa.array(kinds),
             "payload": pa.array(payloads, type=pa.binary()),
-            "meta_width": pa.array(rng.integers(32, 512, n).astype(np.int32)),
-            "meta_height": pa.array(rng.integers(32, 512, n).astype(np.int32)),
+            "meta_width": pa.array(widths),
+            "meta_height": pa.array(heights),
             "meta_sample_rate": pa.array(np.full(n, 16_000, dtype=np.int32)),
         }
     )
 
 
 class DecodeImage:
-    """Actor-pool stage: payload -> decoded feature columns.
+    """Actor-pool stage: image payload -> decoded feature columns.
 
-    Real decode requires an image codec (PIL/cv2 — NOT in this container):
-    constructing with ``fake=False`` raises ``NotImplementedError`` at the
-    first batch, by design. ``fake=True`` derives deterministic pseudo-decode
-    features from the payload bytes so downstream plumbing is exercised.
+    REAL decode paths (probed once per actor, the actor-pool init shape):
+    binary netpbm (P5/P6) via pure numpy always; other formats via PIL when
+    importable. A payload with no available codec raises
+    ``NotImplementedError`` naming the format. ``fake=True`` keeps the
+    deterministic payload-hash pseudo-decode for format-independent plumbing
+    tests.
 
     Batch sizing rule: batches of media rows must satisfy
     ``batch_size * avg_payload_bytes * concurrency << worker heap``; callers
@@ -60,26 +159,88 @@ class DecodeImage:
 
     def __init__(self, fake: bool = False):
         self.fake = fake
+        try:  # codec probe happens ONCE per actor, not per batch
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] in (b"P5", b"P6"):
+            return decode_netpbm(payload)
+        if self._pil is not None:
+            import io
+
+            return np.asarray(self._pil.open(io.BytesIO(payload)))
+        raise NotImplementedError(
+            f"no codec for image payload with magic {payload[:4]!r}: netpbm "
+            "decodes natively, PIL is not importable in this environment"
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codecs unavailable in this environment; construct "
-                "DecodeImage(fake=True) for the deterministic test decode"
-            )
         payloads = batch["payload"]
-        h = np.array(
-            [np.frombuffer(p, dtype=np.uint8).sum() for p in payloads], dtype=np.float64
-        )
         n_bytes = payloads.map(len).to_numpy()
+        if self.fake:
+            h = np.array(
+                [np.frombuffer(p, dtype=np.uint8).sum() for p in payloads],
+                dtype=np.float64,
+            )
+            return pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "decoded_mean": np.round(h / np.maximum(n_bytes, 1), 6),
+                    "decoded_bytes": n_bytes.astype(np.int64),
+                    "thumb_width": np.minimum(batch["meta_width"].to_numpy(), 64).astype(np.int32),
+                    "thumb_height": np.minimum(batch["meta_height"].to_numpy(), 64).astype(np.int32),
+                }
+            )
+        means, widths, heights = [], [], []
+        for p in payloads:  # per-payload loop is inherent to codec decode;
+            # batch sizes are small by the sizing rule above
+            img = self._decode(bytes(p))
+            means.append(float(img.mean()))
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
         return pd.DataFrame(
             {
                 "media_id": batch["media_id"],
-                "decoded_mean": np.round(h / np.maximum(n_bytes, 1), 6),
+                "decoded_mean": np.round(np.array(means), 6),
                 "decoded_bytes": n_bytes.astype(np.int64),
-                "thumb_width": np.minimum(batch["meta_width"].to_numpy(), 64).astype(np.int32),
-                "thumb_height": np.minimum(batch["meta_height"].to_numpy(), 64).astype(np.int32),
+                "thumb_width": np.minimum(widths, 64).astype(np.int32),
+                "thumb_height": np.minimum(heights, 64).astype(np.int32),
             }
+        )
+
+
+class DecodeAudio:
+    """Actor-pool stage: WAV/PCM payload -> audio feature columns (REAL
+    stdlib decode — duration, RMS, peak, channel count, sample rate)."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, p in zip(batch["media_id"], batch["payload"]):
+            if self.fake:
+                b = np.frombuffer(p, dtype=np.uint8)
+                rows.append((mid, len(b) / 16_000.0, float(b.std()), float(b.max()), 1, 16_000))
+                continue
+            x, sr = decode_wav(bytes(p))
+            rows.append(
+                (
+                    mid,
+                    round(x.shape[0] / sr, 6),
+                    round(float(np.sqrt((x**2).mean())), 6),
+                    round(float(np.abs(x).max()), 6),
+                    x.shape[1],
+                    sr,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["media_id", "duration_s", "rms", "peak", "n_channels", "sample_rate"],
         )
 
 

@@ -128,10 +128,63 @@ class TestKnn:
 
 
 class TestMultimodal:
-    def test_decode_stub_raises_without_fake(self):
+    def test_decode_raises_on_undecodable_format(self):
+        # random bytes / PNG magic: no netpbm, no PIL in this container
         dec = DecodeImage(fake=False)
         with pytest.raises(NotImplementedError):
             dec(synth_media_table(4).to_pandas())
+
+    def test_netpbm_decode_roundtrip(self):
+        from mpds_ray.stages.multimodal import decode_netpbm, synth_ppm_payload
+
+        buf = synth_ppm_payload(13, 7, seed=5)
+        img = decode_netpbm(buf)
+        assert img.shape == (7, 13, 3) and img.dtype == np.uint8
+        want = np.random.default_rng(5).integers(0, 256, (7, 13, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(img, want)
+        # header comments survive parsing
+        img2 = decode_netpbm(b"P5\n# c\n2 2\n255\n" + bytes([1, 2, 3, 4]))
+        np.testing.assert_array_equal(img2, np.array([[1, 2], [3, 4]], dtype=np.uint8))
+
+    def test_wav_decode_roundtrip(self):
+        from mpds_ray.stages.multimodal import decode_wav, synth_wav_payload
+
+        buf = synth_wav_payload(1600, 16_000, seed=3)
+        x, sr = decode_wav(buf)
+        assert sr == 16_000 and x.shape == (1600, 1)
+        # 0.5-amplitude sine + small noise -> rms ~ 0.5/sqrt(2)
+        assert abs(float(np.sqrt((x**2).mean())) - 0.3536) < 0.03
+
+    def test_real_decode_pipeline(self, ray_session):
+        """REAL codecs end-to-end through the actor pool: PPM images decode
+        to true (h, w) and pixel means; WAV audio decodes to true duration
+        and RMS."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from mpds_ray.stages.multimodal import DecodeAudio, decode_netpbm, decode_wav
+
+        t = synth_media_table(36, seed=9, real=True)
+        imgs = t.filter(pc.equal(t["kind"], "image"))
+        out = decode_pipeline(rd.from_arrow(imgs), fake=False, batch_size=8).to_pandas()
+        assert len(out) == imgs.num_rows > 0
+        ref = decode_netpbm(bytes(imgs["payload"][0].as_py()))
+        got0 = out.loc[out["media_id"] == imgs["media_id"][0].as_py()].iloc[0]
+        assert got0["decoded_mean"] == pytest.approx(float(ref.mean()), abs=1e-6)
+        assert got0["thumb_height"] == min(ref.shape[0], 64)
+
+        auds = t.filter(pc.equal(t["kind"], "audio"))
+        aout = (
+            rd.from_arrow(auds)
+            .map_batches(DecodeAudio, batch_format="pandas", batch_size=8, concurrency=2)
+            .to_pandas()
+        )
+        assert len(aout) == auds.num_rows > 0
+        x, sr = decode_wav(bytes(auds["payload"][0].as_py()))
+        got0 = aout.loc[aout["media_id"] == auds["media_id"][0].as_py()].iloc[0]
+        assert got0["duration_s"] == pytest.approx(x.shape[0] / sr, abs=1e-6)
+        assert got0["rms"] == pytest.approx(float(np.sqrt((x**2).mean())), abs=1e-6)
+        assert got0["sample_rate"] == 16_000
 
     def test_fake_decode_pipeline(self, ray_session):
         import ray.data as rd
