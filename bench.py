@@ -42,6 +42,8 @@ BENCH_QUERIES = (
     "minhash_dup_candidates",
     "knn_cosine_top10",
     "embedding_near_dups",
+    "vocab_top_terms",
+    "top_users_per_event_type",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot

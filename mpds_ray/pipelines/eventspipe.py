@@ -498,7 +498,105 @@ FROM f
 """
 
 
+def approx_distinct_users(sf_dir: str):
+    """Global distinct-user count via the mergeable KMV sketch
+    (stages/sketch.py): each map batch ships its KMV_K smallest distinct
+    user-id hashes (k uint64s — never the id column), the driver folds the
+    partials. Exact (bijective-hash set fold) whenever the true distinct
+    count is <= KMV_K — the sf0.01/sf0.1 oracle gate — with a
+    ~1/sqrt(KMV_K) relative-error estimate beyond, so driver memory is k x
+    batches no matter how many distinct users the corpus has."""
+    from ..stages.sketch import kmv_merge_count, kmv_partial
+    from .common import bounded_to_pandas
+
+    ds = read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = kmv_partial(b["user_id"].to_numpy().astype(np.uint64))
+        return pd.DataFrame({"h": h.astype(np.int64)})  # arrow-friendly dtype
+
+    # bound: KMV_K hashes x batches by construction
+    parts = bounded_to_pandas(
+        ds.map_batches(partial, batch_format="pandas"), "kmv_partials"
+    )
+    n = kmv_merge_count([parts["h"].to_numpy().astype(np.uint64)])
+    return pd.DataFrame({"n_distinct_users": np.array([n], dtype=np.int64)})
+
+
+APPROX_DISTINCT_SQL = """
+SELECT count(DISTINCT user_id) AS n_distinct_users FROM events
+"""
+
+
+def top_users_per_event_type(sf_dir: str, k: int = 3, num_buckets: int = 8):
+    """Grouped top-k: per event type, the k users with the largest total
+    value. Two-level distributed shape: map tasks pre-aggregate
+    (event_type, user_id) partial sums per shard (the user domain is
+    unbounded at corpus scale, so partials ride the hash exchange keyed on
+    user_id — each (type, user) pair lands wholly in one bucket); reduce
+    tasks finish the sums and emit a tie-aware per-type top-k, so the driver
+    folds k x types x buckets rows regardless of user count."""
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "events")
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["event_type", "user_id", "value"])
+            .to_pandas()
+            .groupby(["event_type", "user_id"], sort=False, as_index=False)["value"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        g = (
+            tbl.to_pandas()
+            .groupby(["event_type", "user_id"], sort=False, as_index=False)["value"]
+            .sum()
+        )
+        g["total_value"] = g["value"].round(6)
+        # tie-AWARE partial top-k: sort by the FULL final key so a rank-k
+        # total_value tie cannot drop the row the final sort would keep
+        return (
+            g.sort_values(["total_value", "user_id"], ascending=[False, True],
+                          kind="mergesort")
+            .groupby("event_type", sort=False)
+            .head(k)[["event_type", "user_id", "total_value"]]
+        )
+
+    out = hash_exchange(
+        shards, map_fn, "user_id", num_buckets, reduce_fn,
+        columns=["event_type", "user_id", "value"],
+    )
+    return (
+        out.sort_values(["total_value", "user_id"], ascending=[False, True],
+                        kind="mergesort")
+        .groupby("event_type", sort=False)
+        .head(k)
+        .sort_values(["event_type", "total_value", "user_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+TOP_USERS_PER_TYPE_SQL = """
+SELECT event_type, user_id, total_value FROM (
+  SELECT event_type, user_id, round(sum(value), 6) AS total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(sum(value), 6) DESC, user_id) AS r
+  FROM events GROUP BY event_type, user_id
+) WHERE r <= 3
+ORDER BY event_type, total_value DESC, user_id
+"""
+
+
 QUERIES = {
+    "approx_distinct_users": approx_distinct_users,
+    "top_users_per_event_type": top_users_per_event_type,
     "sessionize_user_events": sessionize_user_events,
     "first_event_per_user": first_event_per_user,
     "user_set_ops": user_set_ops,
@@ -513,6 +611,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "approx_distinct_users": APPROX_DISTINCT_SQL,
+    "top_users_per_event_type": TOP_USERS_PER_TYPE_SQL,
     "sessionize_user_events": SESSIONIZE_SQL,
     "first_event_per_user": FIRST_EVENT_SQL,
     "user_set_ops": SET_OPS_SQL,

@@ -732,7 +732,150 @@ def doc_fingerprints(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+# --- corpus vocabulary / n-gram frequency (training-data tokenizer prep) ---
+
+
+def _split_flat_offsets(text: pa.ChunkedArray | pa.Array):
+    """text column -> (flat word array, per-row list offsets starting at 0)."""
+    import pyarrow.compute as pc
+
+    t = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    words = pc.split_pattern(t, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offs - offs[0]
+
+
+def _term_topk(out: pd.DataFrame, k: int) -> pd.DataFrame:
+    out = out.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
+def _vocab_exchange(sf_dir: str, term_fn, k: int, num_buckets: int = 8) -> pd.DataFrame:
+    """Shared corpus-term-frequency shape: map tasks count terms PER SHARD
+    (``value_counts`` — the shuffle carries the shard's distinct-term domain,
+    not one row per token), terms hash-exchange so each term sums in exactly
+    one reduce task, reduce emits a tie-aware top-k partial, and the driver
+    folds k x buckets rows. The term domain never materializes anywhere."""
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_exchange
+    from .common import shard_list
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        terms = term_fn(t["text"])
+        vc = pc.value_counts(terms)
+        return pa.table({"term": vc.field("values"), "n": vc.field("counts").cast(pa.int64())})
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        g = tbl.to_pandas().groupby("term", sort=False, as_index=False)["n"].sum()
+        # tie-aware partial top-k: (n DESC, term ASC) is the final key
+        return _term_topk(g, k)
+
+    out = hash_exchange(
+        shard_list(sf_dir, "documents"), map_fn, "term", num_buckets, reduce_fn,
+        columns=["text"],
+    )
+    return _term_topk(out, k)
+
+
+def vocab_top_terms(sf_dir: str, k: int = 100):
+    """Corpus vocabulary build: global term frequencies, top-k by (count
+    DESC, term ASC) — the tokenizer-training / vocab-pruning primitive."""
+
+    def unigrams(text):
+        flat, _ = _split_flat_offsets(text)
+        return flat
+
+    return _vocab_exchange(sf_dir, unigrams, k)
+
+
+VOCAB_SQL = """
+SELECT term, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+) GROUP BY term ORDER BY n DESC, term LIMIT 100
+"""
+
+
+def bigram_top_terms(sf_dir: str, k: int = 100):
+    """Corpus bigram frequencies (top-k): bigrams are built on the FLAT word
+    array — one element-wise join of ``flat[:-1]`` with ``flat[1:]`` plus a
+    boundary mask that drops pairs straddling two documents — so no per-row
+    Python touches the hot path."""
+    import pyarrow.compute as pc
+
+    def bigrams(text):
+        flat, offs = _split_flat_offsets(text)
+        if len(flat) < 2:
+            return pa.array([], type=pa.string())
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        )
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        ends = offs[1:-1] - 1  # last word of every doc but the final one
+        valid[ends[ends >= 0]] = False
+        return joined.filter(pa.array(valid))
+
+    return _vocab_exchange(sf_dir, bigrams, k)
+
+
+BIGRAM_SQL = """
+SELECT term, count(*) AS n FROM (
+  SELECT z[1] || ' ' || z[2] AS term
+  FROM (SELECT unnest(list_zip(l[:len(l)-1], l[2:])) AS z
+        FROM (SELECT string_split(text, ' ') AS l FROM documents))
+) GROUP BY term ORDER BY n DESC, term LIMIT 100
+"""
+
+
+# --- stopword-removal rewrite (training-data cleaning transform) ---
+
+
+def clean_text(sf_dir: str):
+    """Stopword-removal rewrite of the text column — the map-only cleaning
+    transform shape (drop terms, rebuild the document). Fully
+    Arrow-vectorized: one split, one is_in, one filter on the flat word
+    array, rebuilt list offsets from the per-segment keep counts, one
+    binary_join — no per-row Python, output streams (never collected)."""
+    import pyarrow.compute as pc
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_set = pa.array(list(STOPWORDS))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offs = _split_flat_offsets(batch["text"])
+        keep = pc.invert(pc.is_in(flat, value_set=stop_set))
+        keep_np = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+        kept_per_doc = _segment_reduceat(np.add, keep_np, offs, 0)
+        new_offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(new_offs, type=pa.int32()), flat.filter(keep))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": pc.binary_join(lst, " "),
+                "n_kept": pa.array(kept_per_doc.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+CLEAN_TEXT_SQL = f"""
+SELECT doc_id,
+       array_to_string(list_filter(string_split(text, ' '),
+           w -> w NOT IN {STOPWORDS!r}), ' ') AS clean_text,
+       len(list_filter(string_split(text, ' '),
+           w -> w NOT IN {STOPWORDS!r})) AS n_kept
+FROM documents
+"""
+
+
 QUERIES = {
+    "vocab_top_terms": vocab_top_terms,
+    "bigram_top_terms": bigram_top_terms,
+    "clean_text": clean_text,
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
     "token_counts_bpe": token_counts_bpe,
@@ -746,6 +889,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "vocab_top_terms": VOCAB_SQL,
+    "bigram_top_terms": BIGRAM_SQL,
+    "clean_text": CLEAN_TEXT_SQL,
     "dedup_exact": DEDUP_SQL,
     "token_counts": TOKEN_COUNT_SQL,
     "token_counts_bpe": TOKEN_COUNT_BPE_SQL,

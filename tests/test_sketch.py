@@ -84,3 +84,41 @@ class TestDistributedQuantiles:
         assert m["a"]["min"] == a.min() and m["a"]["max"] == a.max()
         assert m["a"]["mean"] == pytest.approx(a.mean(), rel=1e-12)
         assert m["b"]["n"] == len(df)
+
+
+class TestKMV:
+    def test_exact_below_k(self):
+        from mpds_ray.stages.sketch import kmv_merge_count, kmv_partial
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 500, size=100_000).astype(np.uint64)
+        # split into batches, fold partials — exact because distinct <= k
+        parts = [kmv_partial(c, k=1024) for c in np.array_split(keys, 9)]
+        assert kmv_merge_count(parts, k=1024) == len(np.unique(keys))
+
+    def test_estimate_error_bound_above_k(self):
+        from mpds_ray.stages.sketch import kmv_merge_count, kmv_partial
+
+        rng = np.random.default_rng(8)
+        true_n = 1_000_000
+        keys = rng.permutation(np.arange(3_000_000, dtype=np.uint64))[:true_n]
+        keys = np.concatenate([keys, keys[: true_n // 2]])  # duplicates too
+        k = 1024
+        parts = [kmv_partial(c, k=k) for c in np.array_split(keys, 16)]
+        # every partial is bounded by k (the shipped summary size)
+        assert all(p.size <= k for p in parts)
+        est = kmv_merge_count(parts, k=k)
+        # relative stderr ~ 1/sqrt(k-2) ≈ 3.1%; assert within 5 sigma
+        assert abs(est - true_n) / true_n < 5.0 / np.sqrt(k - 2)
+
+    def test_merge_invariant_to_batching(self):
+        from mpds_ray.stages.sketch import kmv_merge_count, kmv_partial
+
+        rng = np.random.default_rng(9)
+        keys = rng.integers(0, 50_000, size=200_000).astype(np.uint64)
+        k = 512
+        one = kmv_merge_count([kmv_partial(keys, k=k)], k=k)
+        many = kmv_merge_count(
+            [kmv_partial(c, k=k) for c in np.array_split(keys, 23)], k=k
+        )
+        assert one == many  # the summary is mergeable: fold order/shape free

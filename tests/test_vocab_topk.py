@@ -1,0 +1,111 @@
+"""Vocabulary / n-gram frequency, stopword rewrite, grouped top-k — semantic
+tests beyond the DuckDB gate: boundary masking, tie-straddling partials,
+empty-after-filter docs, batching invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "source": "s",
+            "lang": "en",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+
+
+class TestVocab:
+    def test_counts_match_loop_oracle(self, ray_session, tmp_path):
+        rng = np.random.default_rng(11)
+        words = np.array(["aa", "bb", "cc", "dd", "ee"])
+        texts = [" ".join(rng.choice(words, rng.integers(1, 30))) for _ in range(50)]
+        _write_docs(tmp_path, texts)
+        from collections import Counter
+
+        from mpds_ray.pipelines.text import vocab_top_terms
+
+        want = Counter(w for t in texts for w in t.split(" "))
+        got = vocab_top_terms(str(tmp_path), k=100)
+        assert dict(zip(got["term"], got["n"])) == dict(want)
+        # ordering: (n DESC, term ASC)
+        key = list(zip(-got["n"].to_numpy(), got["term"]))
+        assert key == sorted(key)
+
+    def test_topk_tie_straddles_buckets(self, ray_session, tmp_path):
+        # 6 terms with IDENTICAL counts; k=3 must keep the lexicographically
+        # smallest 3 even though per-bucket partials see disjoint subsets
+        texts = ["t1 t2 t3", "t4 t5 t6", "t1 t2 t3", "t4 t5 t6"]
+        _write_docs(tmp_path, texts)
+        from mpds_ray.pipelines.text import vocab_top_terms
+
+        got = vocab_top_terms(str(tmp_path), k=3)
+        assert list(got["term"]) == ["t1", "t2", "t3"]
+        assert list(got["n"]) == [2, 2, 2]
+
+    def test_bigrams_never_cross_documents(self, ray_session, tmp_path):
+        # doc0 ends "x"; doc1 starts "y": bigram "x y" must NOT appear
+        texts = ["a b x", "y c d", "a b x", "y c d"]
+        _write_docs(tmp_path, texts)
+        from mpds_ray.pipelines.text import bigram_top_terms
+
+        got = bigram_top_terms(str(tmp_path), k=100)
+        terms = set(got["term"])
+        assert "x y" not in terms
+        assert dict(zip(got["term"], got["n"])) == {
+            "a b": 2, "b x": 2, "y c": 2, "c d": 2
+        }
+
+
+class TestCleanText:
+    def test_rewrite_and_empty_doc(self, ray_session, tmp_path):
+        texts = ["the a of", "keep the word", "keep keep"]
+        _write_docs(tmp_path, texts)
+        from mpds_ray.pipelines.text import clean_text
+
+        got = clean_text(str(tmp_path)).to_pandas().sort_values("doc_id")
+        assert list(got["clean_text"]) == ["", "keep word", "keep keep"]
+        assert list(got["n_kept"]) == [0, 2, 2]
+
+
+class TestGroupedTopK:
+    def _write_events(self, tmp_path, df):
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+
+    def test_matches_pandas_oracle_with_rank_k_ties(self, ray_session, tmp_path):
+        rng = np.random.default_rng(13)
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(n), "s"),
+                "user_id": rng.integers(0, 40, n).astype(np.int64),
+                "event_type": rng.choice(["view", "click", "purchase"], n),
+                # quantized values => exact rank-k total ties occur
+                "value": rng.integers(1, 4, n).astype(np.float64),
+                "props": "{}",
+            }
+        )
+        self._write_events(tmp_path, df)
+        from mpds_ray.pipelines.eventspipe import top_users_per_event_type
+
+        got = top_users_per_event_type(str(tmp_path), k=3)
+        agg = df.groupby(["event_type", "user_id"], as_index=False)["value"].sum()
+        agg["total_value"] = agg["value"].round(6)
+        want = (
+            agg.sort_values(["total_value", "user_id"], ascending=[False, True])
+            .groupby("event_type", sort=False)
+            .head(3)
+            .sort_values(["event_type", "total_value", "user_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True)[["event_type", "user_id", "total_value"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
