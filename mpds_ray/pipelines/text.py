@@ -830,6 +830,80 @@ SELECT term, count(*) AS n FROM (
 """
 
 
+def tfidf_top_term(sf_dir: str, vocab_k: int = 10_000):
+    """Per-document most distinctive term by TF-IDF (tf * ln(N/df), rank on
+    the rounded score, ties broken by term ASC). The broadcast-of-aggregate
+    shape: document frequencies ride the same term exchange as the vocab
+    build (per-doc-unique terms -> per-shard value_counts partials), CAPPED
+    at the ``vocab_k`` highest-df terms so the broadcast idf dict is bounded
+    by the vocabulary, never the term domain; the scoring pass is then
+    map-only. At the test scale the cap exceeds the term domain, so the
+    DuckDB oracle (uncapped) matches exactly; at corpus scale out-of-vocab
+    terms drop from scoring by design (standard vocabulary pruning)."""
+    import math
+
+    import ray
+
+    from .common import table_num_rows
+
+    def doc_unique_terms(text):
+        flat, offs = _split_flat_offsets(text)
+        seg = np.repeat(np.arange(offs.size - 1, dtype=np.int64), np.diff(offs))
+        u = pd.DataFrame({"seg": seg, "term": flat.to_pandas()}).drop_duplicates()
+        return pa.array(u["term"].to_numpy(), type=pa.string())
+
+    n_docs = table_num_rows(sf_dir, "documents")
+    dfreq = _vocab_exchange(sf_dir, doc_unique_terms, vocab_k)  # term, n (= df)
+    idf = {t: math.log(n_docs / n) for t, n in zip(dfreq["term"], dfreq["n"])}
+    idf_ref = ray.put(idf)
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        idf_map = ray.get(idf_ref)  # zero-copy-ish: one dict per worker
+        flat, offs = _split_flat_offsets(b["text"])
+        seg = np.repeat(np.arange(offs.size - 1, dtype=np.int64), np.diff(offs))
+        tf = (
+            pd.DataFrame({"seg": seg, "term": flat.to_pandas()})
+            .groupby(["seg", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["idf"] = tf["term"].map(idf_map)
+        tf = tf.dropna(subset=["idf"])  # out-of-vocab terms (cap) drop
+        tf["tfidf"] = (tf["tf"] * tf["idf"]).round(6)
+        top = tf.sort_values(
+            ["tfidf", "term"], ascending=[False, True], kind="mergesort"
+        ).drop_duplicates("seg")
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[top["seg"].to_numpy()],
+                "term": top["term"].to_numpy(),
+                "tfidf": top["tfidf"].to_numpy(),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+TFIDF_SQL = """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM words GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tfidf FROM (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs * 1.0 / df.dfreq), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(n.n_docs * 1.0 / df.dfreq), 6) DESC, tf.term
+         ) AS r
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE r = 1
+"""
+
+
 # --- stopword-removal rewrite (training-data cleaning transform) ---
 
 
@@ -876,6 +950,7 @@ QUERIES = {
     "vocab_top_terms": vocab_top_terms,
     "bigram_top_terms": bigram_top_terms,
     "clean_text": clean_text,
+    "tfidf_top_term": tfidf_top_term,
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
     "token_counts_bpe": token_counts_bpe,
@@ -892,6 +967,7 @@ ORACLE = {
     "vocab_top_terms": VOCAB_SQL,
     "bigram_top_terms": BIGRAM_SQL,
     "clean_text": CLEAN_TEXT_SQL,
+    "tfidf_top_term": TFIDF_SQL,
     "dedup_exact": DEDUP_SQL,
     "token_counts": TOKEN_COUNT_SQL,
     "token_counts_bpe": TOKEN_COUNT_BPE_SQL,

@@ -109,3 +109,35 @@ class TestGroupedTopK:
             .reset_index(drop=True)[["event_type", "user_id", "total_value"]]
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestTfIdf:
+    def test_matches_loop_oracle_and_vocab_cap(self, ray_session, tmp_path):
+        import math
+        from collections import Counter
+
+        rng = np.random.default_rng(17)
+        words = np.array(["w%02d" % i for i in range(12)])
+        texts = [" ".join(rng.choice(words, rng.integers(3, 25))) for _ in range(30)]
+        _write_docs(tmp_path, texts)
+        from mpds_ray.pipelines.text import tfidf_top_term
+
+        got = tfidf_top_term(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # loop oracle: tf * ln(N/df), rank on the rounded score, term ASC ties
+        df_count = Counter(w for t in texts for w in set(t.split(" ")))
+        n = len(texts)
+        want = []
+        for i, t in enumerate(texts):
+            tf = Counter(t.split(" "))
+            best = min(
+                ((-round(c * math.log(n / df_count[w]), 6), w) for w, c in tf.items())
+            )
+            want.append((i, best[1], -best[0]))
+        want = pd.DataFrame(want, columns=["doc_id", "term", "tfidf"])
+        pd.testing.assert_frame_equal(got, want)
+
+        # vocab cap: with k=1 only the highest-df term is scoreable
+        capped = tfidf_top_term(str(tmp_path), vocab_k=1).to_pandas()
+        assert capped["term"].nunique() == 1
+        top_df_term = min((-c, w) for w, c in df_count.items())[1]
+        assert set(capped["term"]) == {top_df_term}
