@@ -498,6 +498,56 @@ FROM f
 """
 
 
+def props_json_stats(sf_dir: str):
+    """Semi-structured parser surface (SURVEY §2.2): extract the integer
+    ``k`` field from the JSON ``props`` column with ONE vectorized Arrow
+    regex per batch (no per-row json.loads), then per-type mean/max via the
+    map-side partial combiner."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read(sf_dir, "events", columns=["event_type", "props"])
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        props = b["props"].combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        k = pd.to_numeric(pd.Series(m.field("k").to_pandas()), errors="coerce")
+        g = pd.DataFrame(
+            {"event_type": b["event_type"].to_pandas(), "k": k}
+        ).dropna(subset=["k"])
+        # map-side partials: (sum, n, max) per type — bounded by type domain
+        return g.groupby("event_type", as_index=False).agg(
+            k_sum=("k", "sum"), n=("k", "size"), k_max=("k", "max")
+        )
+
+    from .common import bounded_to_pandas
+
+    # bound: event-type domain x batches
+    parts = bounded_to_pandas(ds.map_batches(fn, batch_format="pyarrow"), "props_json")
+    out = parts.groupby("event_type", as_index=False).agg(
+        k_sum=("k_sum", "sum"), n=("n", "sum"), k_max=("k_max", "max")
+    )
+    out["mean_k"] = (out["k_sum"] / out["n"]).round(6)
+    out["max_k"] = out["k_max"].astype(np.int64)
+    out["n_with_k"] = out["n"].astype(np.int64)
+    return (
+        out[["event_type", "n_with_k", "mean_k", "max_k"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+PROPS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n_with_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS mean_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def approx_distinct_users(sf_dir: str):
     """Global distinct-user count via the mergeable KMV sketch
     (stages/sketch.py): each map batch ships its KMV_K smallest distinct
@@ -596,6 +646,7 @@ ORDER BY event_type, total_value DESC, user_id
 
 QUERIES = {
     "approx_distinct_users": approx_distinct_users,
+    "props_json_stats": props_json_stats,
     "top_users_per_event_type": top_users_per_event_type,
     "sessionize_user_events": sessionize_user_events,
     "first_event_per_user": first_event_per_user,
@@ -612,6 +663,7 @@ QUERIES = {
 
 ORACLE = {
     "approx_distinct_users": APPROX_DISTINCT_SQL,
+    "props_json_stats": PROPS_JSON_SQL,
     "top_users_per_event_type": TOP_USERS_PER_TYPE_SQL,
     "sessionize_user_events": SESSIONIZE_SQL,
     "first_event_per_user": FIRST_EVENT_SQL,

@@ -34,7 +34,8 @@ def media_decode_features(sf_dir: str) -> pd.DataFrame:
     img_out = decode_pipeline(rd.from_arrow(imgs), fake=False, batch_size=16).to_pandas()
     aud_out = (
         rd.from_arrow(auds)
-        .map_batches(DecodeAudio, batch_format="pandas", batch_size=16, concurrency=2)
+        .map_batches(DecodeAudio, batch_format="pandas", batch_size=16,
+                     concurrency=(1, 16))
         .to_pandas()
     )
     img_part = pd.DataFrame(

@@ -265,8 +265,11 @@ class FrameSampler:
         return out
 
 
-def decode_pipeline(media_ds, fake: bool = True, batch_size: int = 64, concurrency: int = 2):
-    """media table -> decoded features via an actor pool (setup once/actor)."""
+def decode_pipeline(media_ds, fake: bool = True, batch_size: int = 64,
+                    concurrency: int | tuple[int, int] = (1, 16)):
+    """media table -> decoded features via an actor pool (setup once/actor).
+    ``concurrency`` defaults to an AUTOSCALING (lo, hi) pool so the stage
+    follows the cluster's cores instead of a hard-coded actor count."""
     return media_ds.map_batches(
         DecodeImage,
         fn_constructor_kwargs={"fake": fake},

@@ -141,3 +141,30 @@ class TestTfIdf:
         assert capped["term"].nunique() == 1
         top_df_term = min((-c, w) for w, c in df_count.items())[1]
         assert set(capped["term"]) == {top_df_term}
+
+
+class TestPropsJson:
+    def test_missing_and_malformed_props_drop(self, ray_session, tmp_path):
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(6, dtype=np.int64),
+                "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(6), "s"),
+                "user_id": np.zeros(6, dtype=np.int64),
+                "event_type": ["view"] * 3 + ["click"] * 3,
+                "value": np.ones(6),
+                "props": ['{"k": 5}', "{}", '{"k": -3}', "not json", '{"k": 10}', ""],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+        from mpds_ray.pipelines.eventspipe import props_json_stats
+
+        got = props_json_stats(str(tmp_path))
+        want = pd.DataFrame(
+            {
+                "event_type": ["click", "view"],
+                "n_with_k": np.array([1, 2], dtype=np.int64),
+                "mean_k": [10.0, 1.0],
+                "max_k": np.array([10, 5], dtype=np.int64),
+            }
+        )
+        pd.testing.assert_frame_equal(got, want)
