@@ -578,6 +578,61 @@ SELECT count(DISTINCT user_id) AS n_distinct_users FROM events
 """
 
 
+RANGE_JOIN_WINDOW_S = 604_800  # 7 days
+
+
+def views_before_purchase(sf_dir: str):
+    """Range (interval) join: for each purchase, the count and value-sum of
+    the same user's 'view' events in the trailing 7-day window
+    ``[ts - 7d, ts)``. Rides the entity-complete bucket exchange; inside a
+    bucket the trailing-window lookup is ONE composite-key searchsorted pair
+    over integer microseconds (stages/asof.py:range_join_sorted) — exact
+    window edges, no per-row or per-entity Python loop."""
+    from ..stages.asof import range_join_sorted
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=False)  # nondecreasing: g is user-sorted
+        ts_us = np.round(g["ts"].to_numpy() * 1e6).astype(np.int64)
+        etype = g["event_type"].to_numpy()
+        is_p = etype == "purchase"
+        is_v = etype == "view"
+        cnt, sm = range_join_sorted(
+            codes[is_p], ts_us[is_p],
+            codes[is_v], ts_us[is_v], g["value"].to_numpy()[is_v],
+            RANGE_JOIN_WINDOW_S * 1_000_000,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[is_p],
+                "user_id": g["user_id"].to_numpy()[is_p],
+                "n_views_7d": cnt,
+                "sum_view_value_7d": np.round(sm, 2),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["event_type", "value"], fn)
+
+
+# the oracle compares in integer microseconds (epoch_us) — the same exact
+# domain the kernel joins in, so the window edges cannot disagree by float
+# rounding
+VIEWS_BEFORE_PURCHASE_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, value, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id,
+       count(v.us) AS n_views_7d,
+       round(coalesce(sum(v.value), 0), 2) AS sum_view_value_7d
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.us >= p.us - {RANGE_JOIN_WINDOW_S * 1_000_000}
+ AND v.us <  p.us
+GROUP BY p.event_id, p.user_id
+"""
+
+
 def top_users_per_event_type(sf_dir: str, k: int = 3, num_buckets: int = 8):
     """Grouped top-k: per event type, the k users with the largest total
     value. Two-level distributed shape: map tasks pre-aggregate
@@ -656,6 +711,7 @@ QUERIES = {
     "time_to_next_error": time_to_next_error,
     "locf_last_purchase": locf_last_purchase,
     "asof_purchase_for_views": asof_purchase_for_views,
+    "views_before_purchase": views_before_purchase,
     "cumulative_user_value": cumulative_user_value,
     "hourly_event_stats": hourly_event_stats,
     "debounced_error_bursts": debounced_error_bursts,
@@ -673,6 +729,7 @@ ORACLE = {
     "time_to_next_error": TO_NEXT_ERROR_SQL,
     "locf_last_purchase": LOCF_SQL,
     "asof_purchase_for_views": ASOF_SQL,
+    "views_before_purchase": VIEWS_BEFORE_PURCHASE_SQL,
     "cumulative_user_value": CUMSUM_SQL,
     "hourly_event_stats": HOURLY_SQL,
     "debounced_error_bursts": DEBOUNCE_SQL,

@@ -333,6 +333,137 @@ SELECT round(quantile_cont(value, 0.5), 6) AS median_value,
 FROM events
 """
 
+# --- grouped quantiles (A5 keyed): per-group mergeable summary ---
+
+
+def grouped_value_quantiles(sf_dir: str):
+    """Per-event-type median/p90 of value via the KEYED mergeable quantile
+    summary (stages/sketch.py): map batches emit per-(type) weighted order
+    statistics, the driver folds summaries bounded by types x batches x K —
+    the column itself never rides to the driver. Exact (== DuckDB
+    quantile_cont) while per-batch group slices fit RAW_LIMIT."""
+    from ..stages.sketch import grouped_quantile_summary_stage, weighted_quantiles
+    from .common import bounded_to_pandas
+
+    ev = read(sf_dir, "events", columns=["event_type", "value"])
+    # bound: event_type domain x batches x K summary points
+    parts = bounded_to_pandas(
+        grouped_quantile_summary_stage(ev, "event_type", "value"),
+        "grouped_value_quantiles",
+    )
+    rows = []
+    for kv, sub in parts.groupby("event_type", sort=True):
+        q = weighted_quantiles(
+            sub["value"].to_numpy(), sub["weight"].to_numpy(), [0.5, 0.9]
+        )
+        rows.append({"event_type": kv,
+                     "median_value": round(float(q[0]), 6),
+                     "p90_value": round(float(q[1]), 6)})
+    return pd.DataFrame(rows)
+
+
+GROUPED_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# --- distributed anti-join (J2 complement) ---
+
+
+ANTI_JOIN_CUTOFF = "2000-01-01"
+
+
+def customers_without_orders(sf_dir: str, num_buckets: int = 16):
+    """Anti-join at fact scale: customers with NO order since a cutoff date,
+    counted per nation. Both sides are hash-exchanged on custkey (no
+    broadcast of either key set): customer map tasks emit
+    (c_custkey, c_nationkey); orders map tasks scan with the date predicate
+    PUSHED INTO the parquet read and emit per-shard DISTINCT o_custkey
+    (combiner — bounded by distinct keys per shard, not order rows); each
+    reduce bucket holds every occurrence of its custkeys on both sides, so
+    the anti membership test is local, and emits nation-partial counts. The
+    driver folds nations x buckets rows."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..stages.exchange import exchange_map
+    from ..stages.partition import stable_bucket
+    from .common import shard_list
+
+    def cust_map(t: pa.Table) -> pa.Table:
+        return t.select(["c_custkey", "c_nationkey"])
+
+    def orders_map(t: pa.Table) -> pa.Table:
+        keys = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": keys})
+
+    c_refs = exchange_map(
+        shard_list(sf_dir, "customer"), cust_map,
+        lambda t: stable_bucket(t["c_custkey"].to_numpy(zero_copy_only=False), num_buckets),
+        num_buckets, columns=["c_custkey", "c_nationkey"],
+    )
+    o_refs = exchange_map(
+        shard_list(sf_dir, "orders"), orders_map,
+        lambda t: stable_bucket(t["o_custkey"].to_numpy(zero_copy_only=False), num_buckets),
+        num_buckets, columns=["o_custkey"],
+        filters=(pads.field("o_orderdate") >= pd.Timestamp(ANTI_JOIN_CUTOFF)),
+    )
+
+    @ray.remote
+    def anti_bucket(n_cust: int, *parts: pa.Table) -> pd.DataFrame:
+        c_parts = [p for p in parts[:n_cust] if p.num_rows]
+        if not c_parts:
+            return pd.DataFrame()
+        cust = pa.concat_tables(c_parts)
+        ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+        o_parts = [p for p in parts[n_cust:] if p.num_rows]
+        if o_parts:
+            okeys = np.unique(
+                np.concatenate([p["o_custkey"].to_numpy(zero_copy_only=False)
+                                for p in o_parts])
+            )
+            keep = ~np.isin(ck, okeys)
+        else:
+            keep = np.ones(ck.size, dtype=bool)
+        nat = cust["c_nationkey"].to_numpy(zero_copy_only=False)[keep]
+        if not nat.size:
+            return pd.DataFrame()
+        nk, cnt = np.unique(nat, return_counts=True)
+        return pd.DataFrame({"c_nationkey": nk.astype(np.int64),
+                             "n_customers": cnt.astype(np.int64)})
+
+    n_c = len(c_refs)
+    out = ray.get(
+        [
+            anti_bucket.remote(
+                n_c,
+                *[c_refs[s][b] for s in range(n_c)],
+                *[o_refs[s][b] for s in range(len(o_refs))],
+            )
+            for b in range(num_buckets)
+        ]
+    )
+    frames = [f for f in out if len(f)]
+    if not frames:
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "n_customers": pd.Series([], dtype="int64")})
+    return (
+        pd.concat(frames, ignore_index=True)
+        .groupby("c_nationkey", as_index=False, sort=True)["n_customers"]
+        .sum()
+    )
+
+
+ANTI_JOIN_SQL = f"""
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '{ANTI_JOIN_CUTOFF}')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
 # --- broadcast semi-join (J2) ---
 
 
@@ -429,6 +560,8 @@ QUERIES = {
     "distinct_segments": distinct_segments,
     "event_type_counts": event_type_counts,
     "value_quantiles": value_quantiles,
+    "grouped_value_quantiles": grouped_value_quantiles,
+    "customers_without_orders": customers_without_orders,
     "building_order_stats": building_order_stats,
     "mpds_scaled_orders": mpds_scaled_orders,
     "kfold_counts": kfold_counts,
@@ -442,6 +575,8 @@ ORACLE = {
     "distinct_segments": DISTINCT_SQL,
     "event_type_counts": EVENT_COUNTS_SQL,
     "value_quantiles": QUANTILES_SQL,
+    "grouped_value_quantiles": GROUPED_QUANTILES_SQL,
+    "customers_without_orders": ANTI_JOIN_SQL,
     "building_order_stats": BUILDING_SQL,
     "mpds_scaled_orders": MPDS_SQL,
     "kfold_counts": KFOLD_SQL,

@@ -111,6 +111,68 @@ def asof_join_arrays(
     return out
 
 
+def range_join_sorted(
+    left_ent: np.ndarray,
+    left_ts_us: np.ndarray,
+    right_ent: np.ndarray,
+    right_ts_us: np.ndarray,
+    right_val: np.ndarray,
+    window_us: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized interval (range) join over (entity, ts)-sorted sides: per
+    left row, the COUNT and SUM of right rows of the SAME entity with
+    ``right_ts in [left_ts - window, left_ts)`` — the trailing-window
+    non-equi join the reference's event-window lookups run one entity at a
+    time (dssFunctionLibrary.R:1419-1503), here as ONE composite-key
+    ``searchsorted`` pair across all entities.
+
+    Exactness: timestamps are integer MICROSECONDS and every composite key
+    ``ent * offset + (ts - lo)`` is an integer-valued float64 below 2**53,
+    so the window-boundary comparisons are exact (no float rounding at the
+    >= / < edges). When the composite domain would exceed 2**53 (huge
+    per-bucket entity count x span) the kernel falls back to a per-entity
+    SEGMENT loop — one vectorized searchsorted per entity, same outputs.
+
+    Both sides must be sorted by (entity code, ts); entity codes must come
+    from one shared factorization. Returns (counts int64, sums float64).
+    """
+    n_l = left_ts_us.size
+    counts = np.zeros(n_l, dtype=np.int64)
+    sums = np.zeros(n_l, dtype=np.float64)
+    if n_l == 0 or right_ts_us.size == 0:
+        return counts, sums
+    lo_us = int(min(left_ts_us.min(), right_ts_us.min()))
+    lt = (left_ts_us - lo_us).astype(np.float64)
+    rt = (right_ts_us - lo_us).astype(np.float64)
+    w = float(window_us)
+    span = float(max(lt.max(), rt.max()))
+    offset = span + w + 2.0
+    max_ent = int(max(left_ent.max(), right_ent.max()))
+    if (max_ent + 1) * offset < 2.0**53:
+        lbase = left_ent.astype(np.float64) * offset
+        rkey = right_ent.astype(np.float64) * offset + rt
+        # offset > span + w keeps (lbase + lt - w) inside the entity's own
+        # key block, so no cross-entity bleed
+        lo = np.searchsorted(rkey, lbase + (lt - w), side="left")
+        hi = np.searchsorted(rkey, lbase + lt, side="left")
+    else:
+        rs = np.searchsorted(right_ent, left_ent, side="left")
+        re = np.searchsorted(right_ent, left_ent, side="right")
+        lo = np.empty(n_l, dtype=np.int64)
+        hi = np.empty(n_l, dtype=np.int64)
+        seg_starts = np.flatnonzero(np.r_[True, left_ent[1:] != left_ent[:-1]])
+        seg_ends = np.r_[seg_starts[1:], n_l]
+        for s, e in zip(seg_starts, seg_ends):
+            a, b = int(rs[s]), int(re[s])
+            seg = rt[a:b]
+            lo[s:e] = a + np.searchsorted(seg, lt[s:e] - w, side="left")
+            hi[s:e] = a + np.searchsorted(seg, lt[s:e], side="left")
+    counts = (hi - lo).astype(np.int64)
+    csum = np.concatenate([[0.0], np.cumsum(right_val.astype(np.float64))])
+    sums = csum[hi] - csum[lo]
+    return counts, sums
+
+
 def asof_join_pandas(
     left: pd.DataFrame,
     right: pd.DataFrame,

@@ -99,6 +99,34 @@ def column_quantiles(
     return out
 
 
+def grouped_quantile_summary_stage(
+    ds, key: str, col: str, raw_limit: int = RAW_LIMIT, k: int = K
+):
+    """Dataset -> per-batch per-GROUP summary rows ``(key, value, weight)``.
+
+    The keyed variant of ``quantile_summary_stage`` (same exact-under-limit /
+    compressed-beyond contract, applied per group within each batch): the
+    driver fold is bounded by ``distinct keys x batches x K`` — valid for
+    bounded key domains (categorical group-bys), never by input rows."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for kv, sub in b.groupby(key, sort=False):
+            x = sub[col].to_numpy(dtype=np.float64, na_value=np.nan)
+            x = x[~np.isnan(x)]
+            val, wt = batch_quantile_summary(x, raw_limit, k)
+            frames.append(pd.DataFrame({key: kv, "value": val, "weight": wt}))
+        if not frames:
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 "value": pd.Series([], dtype=np.float64),
+                                 "weight": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    # batch_size > raw_limit so the compression branch is live (see
+    # quantile_summary_stage's note / ADVICE r2)
+    return ds.map_batches(partial, batch_format="pandas", batch_size=4 * max(raw_limit, 1024))
+
+
 def column_moments(ds, cols: list[str]) -> dict[str, dict]:
     """Exact mergeable (mean, min, max, count) per column — one map pass of
     4-scalar partials, folded on the driver."""
