@@ -254,10 +254,34 @@ def scaling() -> None:
     # is the back-to-back PAIR measured in the same window: report the pair
     # with the smallest combined wall (the both-quiet proxy, the r1
     # protocol), with every trial published alongside.
+    def clock() -> float:
+        """Fixed single-thread cache-resident workload wall time — a host
+        'speedometer' sampled immediately before/between/after the two level
+        runs, so a pair whose LO run landed in a throttled window (inflating
+        the ratio) is distinguishable from a genuinely quiet pair: a valid
+        quiet-window pair has all three clocks within ~15% of each other AND
+        near the session's fastest clock."""
+        import numpy as _np
+
+        x = _np.arange(1 << 18, dtype=_np.float64)
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(150):
+            acc += float((x * 1.0000001 + 0.5).sum())
+        assert acc == acc
+        return round(time.perf_counter() - t0, 4)
+
     pairs: list[tuple[dict, dict]] = []
     controls: list[dict] = []
+    clocks: list[list[float]] = []
     for _ in range(trials):
-        pairs.append((run_once(lo), run_once(hi)))
+        c0 = clock()
+        a = run_once(lo)
+        c1 = clock()
+        b = run_once(hi)
+        c2 = clock()
+        pairs.append((a, b))
+        clocks.append([c0, c1, c2])
         controls.append(_control_efficiency(lo, hi))
         time.sleep(2)
     best_idx = min(range(len(pairs)), key=lambda i: pairs[i][0]["value"] + pairs[i][1]["value"])
@@ -286,8 +310,9 @@ def scaling() -> None:
                 "host_controls_all": controls,
                 "trials": [
                     {f"sec_{lo}": a["value"], f"sec_{hi}": b["value"],
-                     "eff": round((a["value"] / b["value"]) / (hi / lo), 3)}
-                    for a, b in pairs
+                     "eff": round((a["value"] / b["value"]) / (hi / lo), 3),
+                     "clocks": clocks[i]}
+                    for i, (a, b) in enumerate(pairs)
                 ],
             }
         )
