@@ -578,6 +578,103 @@ SELECT count(DISTINCT user_id) AS n_distinct_users FROM events
 """
 
 
+ROLLING_K = 5
+
+
+def rolling_value_mean(sf_dir: str):
+    """ROWS-window rolling mean (last K rows per user, ordered by ts) — the
+    row-count sibling of ``sliding_window_mean``'s RANGE window. Per bucket:
+    one global cumsum + a clipped-offset gather per segment (no per-row or
+    per-user loop)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        idx = np.arange(n)
+        seg_starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_of_row = np.repeat(seg_starts, np.diff(np.r_[seg_starts, n]))
+        lo = np.maximum(idx - (ROLLING_K - 1), seg_of_row)
+        csum = np.concatenate([[0.0], np.cumsum(v)])
+        s = csum[idx + 1] - csum[lo]
+        cnt = idx + 1 - lo
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "rolling_mean_5": np.round(s / cnt, 6),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["value"], fn)
+
+
+ROLLING_SQL = f"""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN {ROLLING_K - 1} PRECEDING AND CURRENT ROW),
+             6) AS rolling_mean_5
+FROM events
+"""
+
+
+def event_value_zscore(sf_dir: str):
+    """Per-event-type z-score (grouped standardize, M6's grouped sibling):
+    TRUE two-pass — pass 1 folds per-type (sum, n) partials on the driver
+    (bounded by the type domain), pass 2 folds per-type sum((v-mean)^2)
+    partials for a numerically stable sample variance, then a map-only
+    transform attaches z = (v - mean) / std. Neither pass collects rows."""
+    from .common import bounded_to_pandas
+
+    ev = read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def p1(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False, sort=False)["value"].agg(
+            ["sum", "count"]
+        )
+        return g.reset_index() if "event_type" not in g.columns else g
+
+    # bound: event_type domain x batches
+    m1 = bounded_to_pandas(
+        ev.map_batches(p1, batch_format="pandas"), "zscore_pass1"
+    ).groupby("event_type", as_index=False)[["sum", "count"]].sum()
+    means = dict(zip(m1["event_type"], m1["sum"] / m1["count"]))
+    ns = dict(zip(m1["event_type"], m1["count"]))
+
+    def p2(b: pd.DataFrame) -> pd.DataFrame:
+        mu = b["event_type"].map(means).to_numpy(dtype=np.float64)
+        d = b["value"].to_numpy(dtype=np.float64) - mu
+        return pd.DataFrame({"event_type": b["event_type"], "ss": d * d}).groupby(
+            "event_type", as_index=False, sort=False
+        )["ss"].sum()
+
+    m2 = bounded_to_pandas(
+        ev.map_batches(p2, batch_format="pandas"), "zscore_pass2"
+    ).groupby("event_type", as_index=False)["ss"].sum()
+    stds = {
+        t: float(np.sqrt(ss / (ns[t] - 1))) for t, ss in zip(m2["event_type"], m2["ss"])
+    }
+
+    def z(b: pd.DataFrame) -> pd.DataFrame:
+        mu = b["event_type"].map(means).to_numpy(dtype=np.float64)
+        sd = b["event_type"].map(stds).to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "value_z": np.round((b["value"].to_numpy(dtype=np.float64) - mu) / sd, 6),
+            }
+        )
+
+    return ev.map_batches(z, batch_format="pandas")
+
+
+ZSCORE_SQL = """
+SELECT event_id,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS value_z
+FROM events WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 RANGE_JOIN_WINDOW_S = 604_800  # 7 days
 
 
@@ -712,6 +809,8 @@ QUERIES = {
     "locf_last_purchase": locf_last_purchase,
     "asof_purchase_for_views": asof_purchase_for_views,
     "views_before_purchase": views_before_purchase,
+    "rolling_value_mean": rolling_value_mean,
+    "event_value_zscore": event_value_zscore,
     "cumulative_user_value": cumulative_user_value,
     "hourly_event_stats": hourly_event_stats,
     "debounced_error_bursts": debounced_error_bursts,
@@ -730,6 +829,8 @@ ORACLE = {
     "locf_last_purchase": LOCF_SQL,
     "asof_purchase_for_views": ASOF_SQL,
     "views_before_purchase": VIEWS_BEFORE_PURCHASE_SQL,
+    "rolling_value_mean": ROLLING_SQL,
+    "event_value_zscore": ZSCORE_SQL,
     "cumulative_user_value": CUMSUM_SQL,
     "hourly_event_stats": HOURLY_SQL,
     "debounced_error_bursts": DEBOUNCE_SQL,
