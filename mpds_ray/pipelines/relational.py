@@ -18,43 +18,36 @@ from .common import partial_groupby_sum, read, read_small, round_columns, topk_d
 
 
 def q1_pricing_summary(sf_dir: str):
+    """Pruned scan (M10 predicate pushed into the parquet read) -> per-shard
+    combiner -> driver fold, all over raw shard tasks (shard_groupby_sum):
+    the Dataset version paid ~3 s of fixed plan overhead at sf0.1 for a
+    map-only + bounded-key combiner query."""
     import pyarrow.dataset as pads
 
-    ds = read(
-        sf_dir,
-        "lineitem",
-        columns=[
-            "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount",
-        ],
-        # M10 predicate pushed to the parquet scan (row-group pruning + exact
-        # row filter at the read; the filtered column never leaves storage)
-        filter_expr=(pads.field("l_shipdate") <= pd.Timestamp("1998-09-02")),
-    )
+    from .common import shard_groupby_sum
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
 
-    filtered = ds.map_batches(prep, batch_format="pandas")
-    agg = partial_groupby_sum(
-        filtered,
+    agg = shard_groupby_sum(
+        sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus"],
         {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
          "disc_price": "sum_disc_price", "l_discount": "sum_disc"},
         count_as="count_order",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+        filter_expr=(pads.field("l_shipdate") <= pd.Timestamp("1998-09-02")),
+        filter_cols=("l_shipdate",),
+        prep=prep,
     )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["avg_qty"] = b["sum_qty"] / b["count_order"]
-        b["avg_price"] = b["sum_base_price"] / b["count_order"]
-        b["avg_disc"] = b["sum_disc"] / b["count_order"]
-        return b.drop(columns=["sum_disc"])
-
-    return round_columns(
-        agg.map_batches(finish, batch_format="pandas"),
-        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
-         "avg_qty": 6, "avg_price": 6, "avg_disc": 6},
-    )
+    agg["avg_qty"] = (agg["sum_qty"] / agg["count_order"]).round(6)
+    agg["avg_price"] = (agg["sum_base_price"] / agg["count_order"]).round(6)
+    agg["avg_disc"] = (agg["sum_disc"] / agg["count_order"]).round(6)
+    agg = agg.drop(columns=["sum_disc"])
+    for c, d in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2)):
+        agg[c] = agg[c].round(d)
+    return agg
 
 
 Q1_SQL = """
