@@ -44,6 +44,7 @@ BENCH_QUERIES = (
     "embedding_near_dups",
     "vocab_top_terms",
     "top_users_per_event_type",
+    "views_before_purchase",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot
