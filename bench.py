@@ -45,6 +45,8 @@ BENCH_QUERIES = (
     "vocab_top_terms",
     "top_users_per_event_type",
     "views_before_purchase",
+    "dup_clusters",
+    "pack_sequences",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot

@@ -796,7 +796,73 @@ ORDER BY event_type, total_value DESC, user_id
 """
 
 
+# --- distributed histogram (A9 as a first-class query) ---
+
+HIST_BIN_WIDTH = 25.0
+
+
+def value_histogram(sf_dir: str):
+    """Fixed-width histogram of events.value: map batches pre-reduce to
+    per-bin counts (bin domain is value_range/width — bounded), the driver
+    folds partials. The distributed shape of functions/metrics.py:hist —
+    counts ride the combiner tree, rows never leave the map tasks."""
+    ev = read(sf_dir, "events", columns=["value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"bin": (np.floor(b["value"].to_numpy() / HIST_BIN_WIDTH)).astype(np.int64)}
+        )
+
+    agg = partial_groupby_sum(
+        ev.map_batches(prep, batch_format="pandas"), ["bin"], {}, count_as="n"
+    )
+    return agg
+
+
+HIST_SQL = f"""
+SELECT CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+# --- quantile-threshold bucketizer (feature discretization) ---
+
+
+def value_quartile_label(sf_dir: str):
+    """Per-event quartile label from GLOBAL quantile thresholds: pass 1
+    computes q25/q50/q75 via the mergeable summary (exact at test scale,
+    bounded-error sketch at 100 TB), pass 2 bucketizes map-side against the
+    three broadcast thresholds — the standard feature-discretization op."""
+    from ..stages.sketch import column_quantiles
+
+    vals = read(sf_dir, "events", columns=["value"])
+    q25, q50, q75 = column_quantiles(vals, ["value"], [0.25, 0.5, 0.75])["value"]
+
+    ev = read(sf_dir, "events", columns=["event_id", "value"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy()
+        quartile = 1 + (v > q25).astype(np.int64) + (v > q50) + (v > q75)
+        return pd.DataFrame({"event_id": b["event_id"], "quartile": quartile})
+
+    return ev.map_batches(fn, batch_format="pandas")
+
+
+QUARTILE_SQL = """
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) AS q25, quantile_cont(value, 0.5) AS q50,
+         quantile_cont(value, 0.75) AS q75
+  FROM events
+)
+SELECT event_id,
+       1 + CAST(value > q25 AS BIGINT) + CAST(value > q50 AS BIGINT)
+         + CAST(value > q75 AS BIGINT) AS quartile
+FROM events, q
+"""
+
+
 QUERIES = {
+    "value_histogram": value_histogram,
+    "value_quartile_label": value_quartile_label,
     "approx_distinct_users": approx_distinct_users,
     "props_json_stats": props_json_stats,
     "top_users_per_event_type": top_users_per_event_type,
@@ -817,6 +883,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "value_histogram": HIST_SQL,
+    "value_quartile_label": QUARTILE_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "props_json_stats": PROPS_JSON_SQL,
     "top_users_per_event_type": TOP_USERS_PER_TYPE_SQL,
