@@ -860,7 +860,59 @@ FROM events, q
 """
 
 
+# --- per-user one-hot aggregate pivot (wide feature table) ---
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str):
+    """events -> one row per user with per-type counts + total value (the
+    classic feature-eng pivot). Map tasks pre-reduce each shard to per-user
+    one-hot partials (types are a FIXED small domain -> columns, not rows);
+    partials exchange on user_id and fold per bucket — the same combiner
+    shape as top_users_per_event_type, output bounded by distinct users."""
+    from ..stages.exchange import auto_num_buckets, hash_exchange
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "events")
+
+    def map_fn(t) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        b = t.select(["user_id", "event_type", "value"]).to_pandas()
+        for et in EVENT_TYPES:
+            b[f"n_{et}"] = (b["event_type"] == et).astype(np.int64)
+        g = b.groupby("user_id", as_index=False, sort=False)[
+            [f"n_{et}" for et in EVENT_TYPES] + ["value"]
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(bkt: int, tbl) -> pd.DataFrame:
+        g = tbl.to_pandas().groupby("user_id", as_index=False, sort=False).sum()
+        g["total_value"] = g.pop("value").round(6)
+        return g
+
+    out = hash_exchange(
+        shards, map_fn, "user_id", auto_num_buckets(shards), reduce_fn,
+        columns=["user_id", "event_type", "value"],
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "user_event_pivot": user_event_pivot,
     "value_histogram": value_histogram,
     "value_quartile_label": value_quartile_label,
     "approx_distinct_users": approx_distinct_users,
@@ -883,6 +935,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "user_event_pivot": PIVOT_SQL,
     "value_histogram": HIST_SQL,
     "value_quartile_label": QUARTILE_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,

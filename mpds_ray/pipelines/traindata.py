@@ -413,7 +413,59 @@ SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id
 """
 
 
+# --- document chunking (vectorized flat_map row expansion) ------------------
+
+CHUNK_WORDS = 64
+
+
+def doc_chunks(sf_dir: str, chunk_words: int = CHUNK_WORDS):
+    """Split every doc into fixed-size word chunks — one input row expands to
+    ceil(n_words/chunk) output rows. The expansion is a VECTORIZED flat_map:
+    a map_batches fn emitting np.repeat-expanded arrays (Ray's per-row
+    ``flat_map`` would be a Python loop; a batch transform that returns more
+    rows than it takes is the same operator at Arrow speed)."""
+    import pyarrow.compute as pc
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = (
+            pc.list_value_length(pc.split_pattern(batch["text"], " "))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n_chunks = -(-n // chunk_words)  # ceil
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n_chunks)
+        total = int(n_chunks.sum())
+        starts = np.r_[0, np.cumsum(n_chunks)[:-1]]
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_chunks)
+        remaining = np.repeat(n, n_chunks) - chunk_idx * chunk_words
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_idx": pa.array(chunk_idx),
+                "chunk_words": pa.array(np.minimum(chunk_words, remaining)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+DOC_CHUNKS_SQL = f"""
+WITH n AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+)
+SELECT doc_id,
+       unnest(range(CAST(ceil(n_words / {CHUNK_WORDS}.0) AS BIGINT))) AS chunk_idx,
+       least({CHUNK_WORDS}, n_words
+             - unnest(range(CAST(ceil(n_words / {CHUNK_WORDS}.0) AS BIGINT)))
+               * {CHUNK_WORDS}) AS chunk_words
+FROM n
+"""
+
+
 QUERIES = {
+    "doc_chunks": doc_chunks,
     "decontaminate": decontaminate,
     "stratified_sample": stratified_sample,
     "mid_quality_docs": mid_quality_docs,
@@ -422,6 +474,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_chunks": DOC_CHUNKS_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "mid_quality_docs": MID_QUALITY_SQL,
