@@ -305,9 +305,20 @@ FROM documents
 DUP_CLUSTER_THRESHOLD = 0.5
 
 
-def dup_clusters(sf_dir: str, threshold: float = DUP_CLUSTER_THRESHOLD):
+# above this many verified pairs the driver union-find gives way to the
+# distributed min-label propagation (stages/labelprop.py) — same contract,
+# bucketed exchanges only
+CC_DRIVER_PAIR_CAP = 2_000_000
+
+
+def dup_clusters(sf_dir: str, threshold: float = DUP_CLUSTER_THRESHOLD,
+                 cc: str = "auto"):
     """(doc_id, cluster_id) for every doc in a near-dup component of size
-    >= 2, cluster_id = min doc_id of the component."""
+    >= 2, cluster_id = min doc_id of the component. ``cc``: "driver"
+    (union-find over collected pairs — bounded by verified near-dup pairs),
+    "labelprop" (distributed min-label propagation, the 100-TB path), or
+    "auto" (labelprop once pairs exceed CC_DRIVER_PAIR_CAP). Both paths are
+    byte-identical (tests/test_labelprop.py)."""
     from ..stages.exchange import hash_exchange
     from .common import bounded_to_pandas, shard_list  # noqa: F401  (bound doc)
 
@@ -360,9 +371,13 @@ def dup_clusters(sf_dir: str, threshold: float = DUP_CLUSTER_THRESHOLD):
     if len(pairs) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "cluster_id": pd.Series([], dtype="int64")})
+    if cc == "labelprop" or (cc == "auto" and len(pairs) > CC_DRIVER_PAIR_CAP):
+        from ..stages.labelprop import connected_components_labelprop
+
+        return connected_components_labelprop(pairs)
     # driver union-find over verified pairs — bounded by TRUE near-dup pairs
-    # (output-scale), never by the corpus; at 100 TB with a dup-heavy corpus
-    # swap for iterative min-label propagation over the same exchange
+    # (output-scale), never by the corpus; beyond CC_DRIVER_PAIR_CAP the
+    # distributed min-label propagation above takes over
     a = pairs["doc_a"].to_numpy()
     b = pairs["doc_b"].to_numpy()
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)

@@ -1,0 +1,93 @@
+"""Distributed min-label-propagation CC vs an independent union-find —
+identical labels on random graphs, chains (worst-case diameter), and the
+dup_clusters pipeline's own pair output."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mpds_ray.stages.labelprop import connected_components_labelprop
+
+rng = np.random.default_rng(11)
+
+
+def uf_components(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Independent plain-Python union-find oracle."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def assert_equal_cc(pairs: pd.DataFrame, num_buckets: int = 4):
+    got = connected_components_labelprop(pairs, num_buckets=num_buckets)
+    want = uf_components(pairs)
+    pd.testing.assert_frame_equal(got, want)
+
+
+class TestLabelProp:
+    def test_random_graphs_match_union_find(self, ray_session):
+        for trial in range(5):
+            n_nodes = int(rng.integers(5, 60))
+            n_edges = int(rng.integers(1, 80))
+            a = rng.integers(0, n_nodes, n_edges)
+            b = rng.integers(0, n_nodes, n_edges)
+            pairs = pd.DataFrame({"doc_a": a, "doc_b": b})
+            assert_equal_cc(pairs, num_buckets=int(rng.integers(1, 6)))
+
+    def test_long_chain_worst_case_diameter(self, ray_session):
+        """A 40-node path graph: the min label must walk the whole chain."""
+        n = 40
+        pairs = pd.DataFrame({"doc_a": np.arange(n - 1), "doc_b": np.arange(1, n)})
+        got = connected_components_labelprop(pairs, num_buckets=3)
+        assert (got["cluster_id"] == 0).all()
+        assert len(got) == n
+
+    def test_disjoint_components_stay_disjoint(self, ray_session):
+        pairs = pd.DataFrame(
+            {"doc_a": [10, 11, 50, 51], "doc_b": [11, 12, 51, 52]}
+        )
+        got = connected_components_labelprop(pairs, num_buckets=2).set_index("doc_id")
+        assert set(got.loc[[10, 11, 12], "cluster_id"]) == {10}
+        assert set(got.loc[[50, 51, 52], "cluster_id"]) == {50}
+
+    def test_dup_clusters_labelprop_path_matches_driver(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mpds_ray.pipelines.traindata import dup_clusters
+
+        words = np.array(["a", "b", "c", "d", "e", "f", "g", "h"])
+        base = list(rng.choice(words, 50))
+        near = list(base)
+        near[:10] = rng.choice(words, 10)
+        texts = [" ".join(base), " ".join(near)] + [
+            " ".join(rng.choice(words, 50)) for _ in range(15)
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts,
+             "lang": "en", "source": "s",
+             "n_chars": np.array([len(t) for t in texts], dtype=np.int64)}
+        )
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+        d = dup_clusters(str(tmp_path), threshold=0.3, cc="driver")
+        l = dup_clusters(str(tmp_path), threshold=0.3, cc="labelprop")
+        pd.testing.assert_frame_equal(d, l)
+        assert len(d) >= 2  # the planted pair clustered
