@@ -545,7 +545,74 @@ FROM customer GROUP BY 1 ORDER BY fold
 """
 
 
+# --- general two-sided exchange join (stages/hashjoin.py) as a query ---
+
+
+def monthly_order_revenue(sf_dir: str, num_buckets: int = 16):
+    """lineitem JOIN orders on orderkey -> revenue per order month. Both
+    sides pre-aggregate map-side (lineitem to per-orderkey revenue partials,
+    orders to (orderkey, yyyymm)), exchange on the SAME key buckets, and each
+    reduce joins its co-partitioned pair and emits per-month partials — the
+    reusable fact-to-fact equi-join shape (stages/hashjoin.py:exchange_join)
+    with combiner pushdown on both inputs."""
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    def li_map(t: pa.Table) -> pa.Table:
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        g = (
+            pd.DataFrame(
+                {"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                 "revenue": rev}
+            )
+            .groupby("o_orderkey", as_index=False, sort=False)["revenue"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def o_map(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks()
+        dt = pd.DatetimeIndex(d.to_pandas())
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "month": pa.array((dt.year * 100 + dt.month).astype(np.int64)),
+            }
+        )
+
+    def reduce_fn(b: int, li: pa.Table, orders: pa.Table) -> pd.DataFrame:
+        j = li.to_pandas().merge(orders.to_pandas(), on="o_orderkey")
+        return j.groupby("month", as_index=False)["revenue"].sum()
+
+    out = exchange_join(
+        shard_list(sf_dir, "lineitem"),
+        shard_list(sf_dir, "orders"),
+        "o_orderkey",
+        reduce_fn,
+        num_buckets,
+        left_map=li_map,
+        right_map=o_map,
+        columns_left=["l_orderkey", "l_extendedprice", "l_discount"],
+        columns_right=["o_orderkey", "o_orderdate"],
+    )
+    # driver fold bounded by distinct months x buckets
+    out = out.groupby("month", as_index=False)["revenue"].sum()
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("month").reset_index(drop=True)
+
+
+MONTHLY_REVENUE_SQL = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "monthly_order_revenue": monthly_order_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "customers_per_region": customers_per_region,
@@ -561,6 +628,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "monthly_order_revenue": MONTHLY_REVENUE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "customers_per_region": REGION_SQL,
