@@ -312,13 +312,29 @@ CC_DRIVER_PAIR_CAP = 2_000_000
 
 
 def dup_clusters(sf_dir: str, threshold: float = DUP_CLUSTER_THRESHOLD,
-                 cc: str = "auto"):
+                 cc: str = "auto", pairs: str = "blocked"):
     """(doc_id, cluster_id) for every doc in a near-dup component of size
-    >= 2, cluster_id = min doc_id of the component. ``cc``: "driver"
-    (union-find over collected pairs — bounded by verified near-dup pairs),
-    "labelprop" (distributed min-label propagation, the 100-TB path), or
-    "auto" (labelprop once pairs exceed CC_DRIVER_PAIR_CAP). Both paths are
-    byte-identical (tests/test_labelprop.py)."""
+    >= 2, cluster_id = min doc_id of the component.
+
+    ``pairs``: how the verified near-dup edges are generated —
+      - "blocked" (default, the SQL-oracle semantics): exact all-pairs
+        trigram Jaccard within each ``source`` block. Quadratic per block;
+        valid while the blocking key bounds block size.
+      - "minhash": the corpus-scale path — MinHash-LSH candidates verified by
+        exchange-routed exact Jaccard (pipelines/text.py), no blocking key
+        needed. Probabilistic recall (band curve), so it is NOT compared to
+        the exact SQL oracle; equality with "blocked" holds when every true
+        pair clears the LSH band curve (tests/test_labelprop.py).
+
+    ``cc``: "driver" (union-find over collected pairs — bounded by verified
+    near-dup pairs), "labelprop" (distributed min-label propagation, the
+    100-TB path), or "auto" (labelprop once pairs exceed
+    CC_DRIVER_PAIR_CAP). Both byte-identical (tests/test_labelprop.py)."""
+    if pairs == "minhash":
+        from .text import minhash_dup_candidates
+
+        cand = minhash_dup_candidates(sf_dir, threshold=threshold)
+        return _cluster_pairs(cand[["doc_a", "doc_b"]], cc)
     from ..stages.exchange import hash_exchange
     from .common import bounded_to_pandas, shard_list  # noqa: F401  (bound doc)
 
@@ -364,10 +380,14 @@ def dup_clusters(sf_dir: str, threshold: float = DUP_CLUSTER_THRESHOLD,
                                  "doc_b": pd.Series([], dtype="int64")})
         return pd.concat(frames, ignore_index=True)
 
-    pairs = hash_exchange(
+    edge_df = hash_exchange(
         shards, map_fn, "source", 8, reduce_fn,
         columns=["doc_id", "text", "source"],
     )
+    return _cluster_pairs(edge_df, cc)
+
+
+def _cluster_pairs(pairs: pd.DataFrame, cc: str) -> pd.DataFrame:
     if len(pairs) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "cluster_id": pd.Series([], dtype="int64")})

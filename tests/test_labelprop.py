@@ -91,3 +91,30 @@ class TestLabelProp:
         l = dup_clusters(str(tmp_path), threshold=0.3, cc="labelprop")
         pd.testing.assert_frame_equal(d, l)
         assert len(d) >= 2  # the planted pair clustered
+
+    def test_minhash_pair_path_finds_strong_dups(self, ray_session, tmp_path):
+        """The corpus-scale pair generator (MinHash-LSH candidates + exact
+        verify) must cluster a strong planted dup exactly like the blocked
+        exact path on a single-source corpus."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mpds_ray.pipelines.traindata import dup_clusters
+
+        words = np.array([f"w{i}" for i in range(40)])
+        base = list(rng.choice(words, 80))
+        near = list(base)
+        near[:4] = rng.choice(words, 4)  # ~95% shingle overlap -> LSH-certain
+        texts = [" ".join(base), " ".join(near)] + [
+            " ".join(rng.choice(words, 80)) for _ in range(20)
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts,
+             "lang": "en", "source": "s",
+             "n_chars": np.array([len(t) for t in texts], dtype=np.int64)}
+        )
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+        blocked = dup_clusters(str(tmp_path), threshold=0.5, pairs="blocked")
+        mh = dup_clusters(str(tmp_path), threshold=0.5, pairs="minhash")
+        pd.testing.assert_frame_equal(blocked, mh)
+        assert set(blocked["doc_id"]) >= {0, 1}
