@@ -520,7 +520,11 @@ def run_flagship_exchange(
         manifest_file = manifest_path or f"{out_dir}/manifest.jsonl"
         done = Manifest(manifest_file).completed("flagship")
 
-    def sink_partition(feats: pd.DataFrame, b: int) -> pd.DataFrame:
+    from os import path as _osp
+
+    frag_names = [_osp.basename(p) for p in shards]
+
+    def sink_partition(feats: pd.DataFrame, b: int, frags=None) -> pd.DataFrame:
         import time as _time
 
         if out_dir is None:
@@ -531,11 +535,12 @@ def run_flagship_exchange(
         body = feats.drop(columns=[_BUCKET])
         write_partition_atomic(body, out_dir, b)
         Manifest(manifest_file).append(
-            "flagship", b, len(body), frame_checksum(body), _time.perf_counter() - t0
+            "flagship", b, len(body), frame_checksum(body), _time.perf_counter() - t0,
+            input_fragments=frags,
         )
         return pd.DataFrame({"partition_id": [b], "rows": [len(body)], "skipped": [False]})
 
-    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+    def reduce_fn(b: int, tbl: pa.Table, frags=None) -> pd.DataFrame:
         left = tbl.to_pandas()
         scores = ray.get(scores_ref)
         sbuck = stable_bucket(scores[entity].to_numpy(), num_buckets)
@@ -543,7 +548,7 @@ def run_flagship_exchange(
         feats = process_bucket(
             left, right, entity, ts, session_gap, tolerance, stat_cols, bucket_id=b
         )
-        return sink_partition(feats, b)
+        return sink_partition(feats, b, frags)
 
     @ray.remote
     def reduce_chunked(b: int, *parts) -> pd.DataFrame:
@@ -553,6 +558,9 @@ def run_flagship_exchange(
 
         from ..stages.chunked import ray_run_iter, sorted_run_merge
 
+        # chunked protocol: parts[s] is shard s's list of sub-chunk refs —
+        # a non-empty list means fragment s contributed rows to this bucket
+        frags = [frag_names[s] for s, p in enumerate(parts) if len(p)]
         runs = [ray_run_iter(p) for p in parts]
         chunks = sorted_run_merge(runs, entity, ts, chunk_rows)
         scores = ray.get(scores_ref)
@@ -578,7 +586,8 @@ def run_flagship_exchange(
         if not csink.close():
             return pd.DataFrame()  # empty bucket, same as the flat path
         Manifest(manifest_file).append(
-            "flagship", b, csink.rows, csink.checksum, _time.perf_counter() - t0
+            "flagship", b, csink.rows, csink.checksum, _time.perf_counter() - t0,
+            input_fragments=frags,
         )
         return pd.DataFrame(
             {"partition_id": [b], "rows": [csink.rows], "skipped": [False]}
@@ -690,18 +699,29 @@ def _run_salted_exchange(
         chunk_rows=chunk_rows,
     )
 
+    from os import path as _osp
+
+    frag_names = [_osp.basename(p) for p in shards]
+
+    def _contrib_frags(parts) -> list[str]:
+        return [
+            frag_names[s]
+            for s, p in enumerate(parts)
+            if (len(p) if isinstance(p, list) else p.num_rows)
+        ]
+
     @ray.remote
     def reduce_unsalted(b: int, *parts: pa.Table):
         nonempty = _gather_parts(parts)
         if not nonempty:
             return pd.DataFrame()
-        return reduce_fn(b, pa.concat_tables(nonempty))
+        return reduce_fn(b, pa.concat_tables(nonempty), _contrib_frags(parts))
 
-    @ray.remote(num_returns=2)
+    @ray.remote(num_returns=3)
     def phase1_chunk(b: int, e, *parts: pa.Table):
         nonempty = _gather_parts(parts)
         if not nonempty:
-            return pd.DataFrame(), None
+            return pd.DataFrame(), None, []
         left = pa.concat_tables(nonempty).to_pandas()
         scores = ray.get(scores_ref)
         right = scores[scores[entity].to_numpy() == e]
@@ -711,16 +731,16 @@ def _run_salted_exchange(
         # compact summary rides back separately so the carry fold never
         # refetches the features frame (the r1-draft sequential carry-task
         # chain serialized 30+ scheduling round trips — a straggler of its own)
-        return feats, chunk_carry_info(feats, ts, stat_cols[0])
+        return feats, chunk_carry_info(feats, ts, stat_cols[0]), _contrib_frags(parts)
 
     @ray.remote
-    def fix_task(feats: pd.DataFrame, carry, next_first_ts, b: int):
+    def fix_task(feats: pd.DataFrame, carry, next_first_ts, b: int, frags):
         fixed = flagship_apply_carry(
             feats, carry, next_first_ts, ts, stat_cols[0], session_gap
         )
         if fixed is None or not len(fixed):
             return pd.DataFrame()
-        return sink_partition(fixed, b)
+        return sink_partition(fixed, b, frags)
 
     normal_reduce = reduce_chunked if chunk_rows is not None else reduce_unsalted
     out_refs = [
@@ -729,11 +749,12 @@ def _run_salted_exchange(
     ]
     for e, (off, bounds) in spec.items():
         chunk_buckets = [num_buckets + off + c for c in range(bounds.size + 1)]
-        feats, info_refs = [], []
+        feats, info_refs, frag_refs = [], [], []
         for b in chunk_buckets:
-            f, i = phase1_chunk.remote(b, e, *[refs[s][b] for s in range(len(shards))])
+            f, i, fr = phase1_chunk.remote(b, e, *[refs[s][b] for s in range(len(shards))])
             feats.append(f)
             info_refs.append(i)
+            frag_refs.append(fr)
         infos = ray.get(info_refs)  # compact: scalars + one area array each
         # driver-side sequential fold (microseconds per chunk) -> carry-ins;
         # all fix tasks then launch in parallel immediately
@@ -747,7 +768,8 @@ def _run_salted_exchange(
             for k in range(len(infos))
         ]
         out_refs += [
-            fix_task.remote(feats[k], carries[k], next_first[k], chunk_buckets[k])
+            fix_task.remote(feats[k], carries[k], next_first[k], chunk_buckets[k],
+                            frag_refs[k])
             for k in range(len(feats))
         ]
     frames = [f for f in ray.get(out_refs) if len(f)]

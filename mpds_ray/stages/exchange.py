@@ -146,7 +146,17 @@ def hash_exchange(
     columns: list[str] | None = None,
 ) -> pd.DataFrame:
     """Run the exchange; returns the concatenated reduce outputs (small).
-    ``columns`` prunes the shard read (only those columns leave storage)."""
+    ``columns`` prunes the shard read (only those columns leave storage).
+
+    Lineage: a ``reduce_fn`` accepting a third parameter receives the list of
+    input-fragment basenames whose map slices actually contributed rows to its
+    bucket — the per-partition lineage a resumable sink records in its
+    manifest (SURVEY §4.2)."""
+    import inspect
+    import os
+
+    reduce_takes_frags = len(inspect.signature(reduce_fn).parameters) >= 3
+    frag_names = [os.path.basename(p) for p in shard_paths]
 
     def bucket_fn(t: pa.Table) -> np.ndarray:
         return stable_bucket(t[entity_col].to_numpy(zero_copy_only=False), num_buckets)
@@ -155,10 +165,13 @@ def hash_exchange(
 
     @ray.remote(num_cpus=reduce_num_cpus)
     def reduce_bucket(b: int, *parts: pa.Table):
-        nonempty = [p for p in parts if p.num_rows]
-        if not nonempty:
+        contrib = [s for s, p in enumerate(parts) if p.num_rows]
+        if not contrib:
             return pd.DataFrame()
-        return reduce_fn(b, pa.concat_tables(nonempty))
+        tbl = pa.concat_tables([parts[s] for s in contrib])
+        if reduce_takes_frags:
+            return reduce_fn(b, tbl, [frag_names[s] for s in contrib])
+        return reduce_fn(b, tbl)
 
     out = [
         reduce_bucket.remote(b, *[refs[s][b] for s in range(len(shard_paths))])

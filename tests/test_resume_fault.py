@@ -103,3 +103,70 @@ class TestBatchSizeInvariance:
             np.testing.assert_allclose(
                 outs[0]["tok_mode"].to_numpy(), other["tok_mode"].to_numpy()
             )
+
+class TestManifestLineage:
+    """North-rule lineage: every committed partition's manifest record names
+    the input fragments (shard basenames) whose rows it contains — across all
+    three reduce engines (flat, chunked, salted+chunked)."""
+
+    def _fixture(self, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from mpds_ray.synth import synth_scores_table, synth_tokens_table
+
+        tok_dir = tmp_path / "tokens.parquet"
+        tok_dir.mkdir()
+        table = synth_tokens_table(40, 30_000, seed=31, max_tok=64, hot_share=0.5)
+        per = (table.num_rows + 3) // 4
+        for i in range(4):
+            piece = table.slice(i * per, per)
+            if piece.num_rows:
+                _pq.write_table(piece, f"{tok_dir}/part-{i:02d}.parquet")
+        _pq.write_table(synth_scores_table(40, seed=32), f"{tmp_path}/scores.parquet")
+        return str(tok_dir), f"{tmp_path}/scores.parquet"
+
+    @staticmethod
+    def _manifest(out_dir):
+        import json
+
+        with open(f"{out_dir}/manifest.jsonl") as f:
+            return [json.loads(line) for line in f]
+
+    def test_fragments_recorded_by_every_engine(self, ray_session, tmp_path):
+        from mpds_ray.stages.partition import stable_bucket
+
+        tok_dir, scores = self._fixture(tmp_path)
+        shard_paths = sorted(glob.glob(f"{tok_dir}/*.parquet"))
+        shard_names = [os.path.basename(p) for p in shard_paths]
+        B = 4
+
+        # ground truth: which shards hold rows of each hash bucket
+        expect: dict[int, set] = {b: set() for b in range(B)}
+        for p, name in zip(shard_paths, shard_names):
+            ids = pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy(
+                zero_copy_only=False
+            )
+            for b in np.unique(stable_bucket(ids, B)):
+                expect[int(b)].add(name)
+
+        configs = {
+            "flat": dict(salt=False),
+            "chunked": dict(salt=False, chunk_rows=1_000),
+            "salted": dict(salt=True, salt_threshold=0.2, salt_min_rows=1_000,
+                           chunk_rows=1_500),
+        }
+        totals = {}
+        for label, kw in configs.items():
+            out = str(tmp_path / f"out_{label}")
+            run_flagship_exchange(tok_dir, scores, out_dir=out, num_buckets=B, **kw)
+            recs = self._manifest(out)
+            assert recs, label
+            for r in recs:
+                frags = r["input_fragments"]
+                assert frags, (label, r["partition_id"])
+                assert set(frags) <= set(shard_names), (label, frags)
+                if r["partition_id"] < B and label == "flat":
+                    # flat hash buckets: exact contributing-shard set
+                    assert set(frags) == expect[r["partition_id"]], r
+            totals[label] = sum(r["row_count"] for r in recs)
+        assert len(set(totals.values())) == 1, totals
