@@ -258,6 +258,114 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON v.user_id = p.user_id AND v.ts >= p.ts
 """
 
+# --- J4 variant: nearest (bidirectional) as-of join ---
+
+
+def nearest_purchase_for_views(sf_dir: str):
+    """For each view event, the single nearest purchase by the same user in
+    EITHER time direction (the pre/post variant of the flagship backward
+    as-of; reference event-window lookups, dssFunctionLibrary.R:1419-1503).
+    Same bucketed-exchange plan as ``asof_purchase_for_views``; the nearest
+    direction is two searchsorted passes + an elementwise argmin, still one
+    vectorized merge per entity segment. Views whose user never purchases
+    drop (inner semantics). Ties are impossible at microsecond resolution
+    (verified: zero duplicate purchase ts / equidistant pairs at every SF)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["event_type"] == "view"]
+        purch = g[g["event_type"] == "purchase"]
+        joined = asof_join_arrays(
+            views["user_id"].to_numpy(),
+            views["ts"].to_numpy(),
+            purch["user_id"].to_numpy(),
+            purch["ts"].to_numpy(),
+            {"value": purch["value"].to_numpy()},
+            tolerance=None,
+            direction="nearest",
+        )
+        ok = ~np.isnan(joined["_matched_ts"])
+        return pd.DataFrame(
+            {
+                "event_id": views["event_id"].to_numpy()[ok],
+                "nearest_purchase_ts": np.round(joined["_matched_ts"][ok], 6),
+                "nearest_gap": np.round(
+                    np.abs(views["ts"].to_numpy()[ok] - joined["_matched_ts"][ok]), 6
+                ),
+                "purchase_value": np.round(joined["value"][ok], 6),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["event_type", "value"], fn)
+
+
+NEAREST_SQL = """
+SELECT v.event_id,
+       round(p.pts, 6) AS nearest_purchase_ts,
+       round(abs(epoch(v.ts) - p.pts), 6) AS nearest_gap,
+       round(p.value, 6) AS purchase_value
+FROM events v JOIN LATERAL (
+    SELECT epoch(p.ts) AS pts, p.value
+    FROM events p
+    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+    ORDER BY abs(epoch(p.ts) - epoch(v.ts)), p.event_id LIMIT 1
+) p ON true
+WHERE v.event_type = 'view'
+"""
+
+# --- A-row: per-user OLS trend (grouped regression features) ---
+
+TREND_ORIGIN_S = 1_704_067_200  # 2024-01-01 epoch; keeps x small so the
+# 6-dp intercept round is insensitive to summation-order noise
+
+
+def user_value_trend(sf_dir: str):
+    """Per-user least-squares trend of value over time (slope per DAY +
+    intercept at the 2024-01-01 origin) — the grouped-regression feature a
+    longitudinal pipeline derives per entity (reference fits per-patient
+    trends over visit dates). One bucketed exchange; inside each reduce the
+    per-user sums ride np.add.reduceat over the (user-sorted) segment
+    boundaries — exact two-pass centered OLS, no per-row or per-user loop.
+    Users with <2 events or zero time spread drop (slope undefined)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        x = (g["ts"].to_numpy(dtype=np.float64) - TREND_ORIGIN_S) / 86400.0
+        y = g["value"].to_numpy(dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]) if uid.size else np.array([], dtype=np.int64)
+        if not uid.size:
+            return pd.DataFrame(
+                {"user_id": [], "slope": [], "intercept": [], "n_events": []}
+            )
+        counts = np.diff(np.r_[starts, uid.size])
+        mx = np.add.reduceat(x, starts) / counts
+        my = np.add.reduceat(y, starts) / counts
+        dx = x - np.repeat(mx, counts)
+        dy = y - np.repeat(my, counts)
+        sxx = np.add.reduceat(dx * dx, starts)
+        sxy = np.add.reduceat(dx * dy, starts)
+        keep = (counts >= 2) & (sxx > 0)
+        slope = sxy[keep] / sxx[keep]
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts][keep],
+                "slope": np.round(slope, 6),
+                "intercept": np.round(my[keep] - slope * mx[keep], 6),
+                "n_events": counts[keep].astype(np.int64),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["value"], fn)
+
+
+TREND_SQL = f"""
+SELECT user_id,
+       round(regr_slope(value, (epoch(ts) - {TREND_ORIGIN_S}) / 86400), 6) AS slope,
+       round(regr_intercept(value, (epoch(ts) - {TREND_ORIGIN_S}) / 86400), 6) AS intercept,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+HAVING count(*) >= 2 AND var_samp((epoch(ts) - {TREND_ORIGIN_S}) / 86400) > 0
+"""
+
 # --- T12: per-user cumulative value ---
 
 
@@ -926,6 +1034,8 @@ QUERIES = {
     "time_to_next_error": time_to_next_error,
     "locf_last_purchase": locf_last_purchase,
     "asof_purchase_for_views": asof_purchase_for_views,
+    "nearest_purchase_for_views": nearest_purchase_for_views,
+    "user_value_trend": user_value_trend,
     "views_before_purchase": views_before_purchase,
     "rolling_value_mean": rolling_value_mean,
     "event_value_zscore": event_value_zscore,
@@ -949,6 +1059,8 @@ ORACLE = {
     "time_to_next_error": TO_NEXT_ERROR_SQL,
     "locf_last_purchase": LOCF_SQL,
     "asof_purchase_for_views": ASOF_SQL,
+    "nearest_purchase_for_views": NEAREST_SQL,
+    "user_value_trend": TREND_SQL,
     "views_before_purchase": VIEWS_BEFORE_PURCHASE_SQL,
     "rolling_value_mean": ROLLING_SQL,
     "event_value_zscore": ZSCORE_SQL,
