@@ -611,8 +611,92 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def urgent_order_month_revenue(sf_dir: str, num_buckets: int = 16):
+    """monthly_order_revenue restricted to 1-URGENT orders (~20% of the
+    dimension side) — the selective-join shape where the bloom prefilter
+    pays: the priority predicate pushes into the orders scan, a bloom over
+    the qualifying orderkeys (built by one extra pruned scan of the SMALL
+    side, 1 MiB packed bits broadcast once) prefilters lineitem's per-key
+    revenue partials map-side, so ~80% of the fact side's partials never
+    enter the exchange. Exact per-bucket join unchanged -> byte-identical
+    to bloom-off (tests/test_bloom_join.py).
+
+    Revenue rides EXACT integer ten-thousandths (price and discount are
+    2-decimal, so cents x (100 - disc_pct) is an int64): partial sums are
+    order-independent, so the distributed fold can never land on the other
+    side of a half-cent rounding boundary from the oracle's single-pass
+    sum (observed once at sf0.01 with float partials). int64 holds to
+    ~9e18 tenth-mills ~ $9e14 per (month, bucket) partial."""
+    import pyarrow.dataset as pds
+
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    def li_map(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                 "rev_i": cents * (100 - disc)}
+            )
+            .groupby("o_orderkey", as_index=False, sort=False)["rev_i"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def o_map(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks()
+        dt = pd.DatetimeIndex(d.to_pandas())
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "month": pa.array((dt.year * 100 + dt.month).astype(np.int64)),
+            }
+        )
+
+    def reduce_fn(b: int, li: pa.Table, orders: pa.Table) -> pd.DataFrame:
+        j = li.to_pandas().merge(orders.to_pandas(), on="o_orderkey")
+        return j.groupby("month", as_index=False)["rev_i"].sum()
+
+    out = exchange_join(
+        shard_list(sf_dir, "lineitem"),
+        shard_list(sf_dir, "orders"),
+        "o_orderkey",
+        reduce_fn,
+        num_buckets,
+        left_map=li_map,
+        right_map=o_map,
+        columns_left=["l_orderkey", "l_extendedprice", "l_discount"],
+        columns_right=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filters_right=pds.field("o_orderpriority") == "1-URGENT",
+        bloom_from="right",
+    )
+    out = out.groupby("month", as_index=False)["rev_i"].sum()
+    # no final round: both sides divide the same exact int64 by 10000.0 ->
+    # bit-identical doubles (a 2-dp round would re-introduce the half-even
+    # vs half-away divergence exactly on the now-exact .xx5 ties)
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    return out.sort_values("month").reset_index(drop=True)
+
+
+URGENT_REVENUE_SQL = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "monthly_order_revenue": monthly_order_revenue,
+    "urgent_order_month_revenue": urgent_order_month_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "customers_per_region": customers_per_region,
@@ -629,6 +713,7 @@ QUERIES = {
 
 ORACLE = {
     "monthly_order_revenue": MONTHLY_REVENUE_SQL,
+    "urgent_order_month_revenue": URGENT_REVENUE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "customers_per_region": REGION_SQL,

@@ -26,6 +26,82 @@ import ray
 from .exchange import exchange_map
 from .partition import stable_bucket
 
+# --- bloom-filter join prefilter -------------------------------------------
+#
+# When one join side is selective (a pushed-down predicate keeps only a small
+# key set), the OTHER side's map tasks can drop non-matching rows BEFORE the
+# exchange: build a bloom filter over the selective side's keys (one extra
+# pruned-column scan of the SMALL side), broadcast the packed bits once via
+# ray.put, and probe inside every big-side map task. False positives only
+# re-admit rows the per-bucket exact join discards anyway, so results are
+# byte-identical with the filter on or off (tests/test_bloom_join.py); what
+# changes is shuffle volume — at 100 TB the big fact side ships only rows
+# whose key MIGHT match instead of the whole table.
+
+
+def _bloom_positions(values: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(num_hashes, n) bit positions via double hashing off the same stable
+    uint64 hash the bucket exchange uses (process-stable, any key dtype)."""
+    h1 = pd.util.hash_pandas_object(
+        pd.Series(np.asarray(values)), index=False
+    ).to_numpy()
+    h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+    h2 = (h2 >> np.uint64(29)) ^ h2 | np.uint64(1)  # odd so strides differ
+    ks = np.arange(num_hashes, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + ks * h2[None, :]) % np.uint64(num_bits)).astype(np.int64)
+
+
+def bloom_insert(values: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """Packed (uint8) bloom bits with every value's positions set."""
+    flat = np.zeros(num_bits, dtype=bool)
+    if len(values):
+        flat[_bloom_positions(values, num_bits, num_hashes).ravel()] = True
+    return np.packbits(flat)
+
+
+def bloom_probe(
+    values: np.ndarray, bits: np.ndarray, num_bits: int, num_hashes: int
+) -> np.ndarray:
+    """Boolean mask: True where the value MIGHT be in the inserted set
+    (never False for an inserted value)."""
+    if not len(values):
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(values, num_bits, num_hashes)
+    hit = (bits[pos >> 3] >> (np.uint8(7) - (pos & 7).astype(np.uint8))) & 1
+    return hit.all(axis=0)
+
+
+def build_key_bloom(
+    shard_paths: list[str],
+    key: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+    map_fn: Callable[[pa.Table], pa.Table] | None = None,
+    columns: list[str] | None = None,
+    filters=None,
+) -> np.ndarray:
+    """Distributed bloom build: one task per shard reads only ``key`` (plus
+    whatever ``map_fn`` needs), inserts its post-map keys, and the driver ORs
+    the packed arrays — num_bits/8 bytes per shard (1 MiB at the 2^23
+    default), independent of row count."""
+
+    @ray.remote
+    def shard_bloom(path: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=columns or [key], filters=filters)
+        if map_fn is not None:
+            t = map_fn(t)
+        return bloom_insert(
+            t[key].to_numpy(zero_copy_only=False), num_bits, num_hashes
+        )
+
+    parts = ray.get([shard_bloom.remote(p) for p in shard_paths])
+    out = np.zeros(num_bits // 8, dtype=np.uint8)
+    for p in parts:
+        out |= p
+    return out
+
 
 def exchange_join(
     left_shards: list[str],
@@ -40,22 +116,62 @@ def exchange_join(
     filters_left=None,
     filters_right=None,
     driver_row_cap: int = 5_000_000,
+    bloom_from: str | None = None,
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 4,
 ) -> pd.DataFrame:
     """Co-partition both sides on ``hash(key) % num_buckets`` and run
     ``reduce_fn(bucket, left_tbl, right_tbl)`` per bucket. ``left_map`` /
     ``right_map`` default to identity — pass combiners to pre-aggregate
-    map-side so the exchange moves partials, not rows."""
+    map-side so the exchange moves partials, not rows.
+
+    ``bloom_from='right'`` (or ``'left'``) builds a bloom filter over that
+    side's post-map keys and prefilters the OTHER side's rows map-side,
+    before its combiner and the shuffle — use when one side is selective.
+    Results are identical with or without (exact join per bucket)."""
 
     def bucket_fn(t: pa.Table) -> np.ndarray:
         return stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
 
     ident = lambda t: t  # noqa: E731
+    left_map = left_map or ident
+    right_map = right_map or ident
+
+    if bloom_from is not None:
+        src = dict(
+            left=(left_shards, left_map, columns_left, filters_left),
+            right=(right_shards, right_map, columns_right, filters_right),
+        )[bloom_from]
+        bits_ref = ray.put(
+            build_key_bloom(
+                src[0], key, bloom_bits, bloom_hashes,
+                map_fn=src[1], columns=src[2], filters=src[3],
+            )
+        )
+
+        def bloomed(inner: Callable[[pa.Table], pa.Table]):
+            def fn(t: pa.Table) -> pa.Table:
+                t = inner(t)
+                bits = ray.get(bits_ref)  # zero-copy plasma view
+                keep = bloom_probe(
+                    t[key].to_numpy(zero_copy_only=False),
+                    bits, bloom_bits, bloom_hashes,
+                )
+                return t.filter(pa.array(keep))
+
+            return fn
+
+        if bloom_from == "right":
+            left_map = bloomed(left_map)
+        else:
+            right_map = bloomed(right_map)
+
     l_refs = exchange_map(
-        left_shards, left_map or ident, bucket_fn, num_buckets,
+        left_shards, left_map, bucket_fn, num_buckets,
         columns=columns_left, filters=filters_left,
     )
     r_refs = exchange_map(
-        right_shards, right_map or ident, bucket_fn, num_buckets,
+        right_shards, right_map, bucket_fn, num_buckets,
         columns=columns_right, filters=filters_right,
     )
 
