@@ -47,6 +47,7 @@ BENCH_QUERIES = (
     "views_before_purchase",
     "dup_clusters",
     "pack_sequences",
+    "q5_region_nation_revenue",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot

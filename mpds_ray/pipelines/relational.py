@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from .common import partial_groupby_sum, read, read_small, round_columns, topk_driver
 
@@ -694,11 +695,179 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q5_region_nation_revenue(
+    sf_dir: str,
+    region: str = "ASIA",
+    num_buckets: int = 16,
+):
+    """TPC-H Q5-shaped multi-way CHAIN join — the join key changes at every
+    hop, so each hop's output is re-exchanged on the next key while staying
+    in the object store as per-bucket Arrow tables (stages/hashjoin.py
+    rebucket_refs / exchange_join_refs); the driver holds only ObjectRefs
+    until the final nation-level partials.
+
+        hop 1 (key=custkey):  orders(1996)      ⨝ customer(region nations)
+                              -> (o_orderkey, c_nationkey)
+        hop 2 (key=orderkey): hop1 (rebucketed)  ⨝ lineitem
+                              -> partial (l_suppkey, c_nationkey, rev_i)
+        hop 3 (key=suppkey):  hop2 (rebucketed)  ⨝ supplier(region nations)
+                              -> filter c_nationkey == s_nationkey,
+                                 partial sum by nationkey  (tiny root)
+
+    lineitem (the 10^12-row side) is bloom-prefiltered by the orderkeys that
+    actually survived hop 1 (~qualifying-year × region fraction), so ~95%+
+    of fact rows never enter the exchange; the per-bucket join stays exact,
+    so results are identical with the filter on or off. Revenue rides exact
+    integer ten-thousandths end-to-end (see urgent_order_month_revenue).
+    region/nation are spec-bounded tiny (25 rows) driver lookups."""
+    import pyarrow.dataset as pds
+
+    from ..stages.exchange import exchange_map
+    from ..stages.hashjoin import (
+        bloom_probe,
+        build_key_bloom_refs,
+        exchange_join_refs,
+        rebucket_refs,
+    )
+    from ..stages.partition import stable_bucket
+    from .common import shard_list
+
+    nat = read_small(sf_dir, "nation")
+    reg = read_small(sf_dir, "region")
+    rkey = reg.loc[reg.r_name == region, "r_regionkey"].iloc[0]
+    nsel = nat[nat.n_regionkey == rkey]
+    nation_keys = nsel.n_nationkey.to_numpy()
+    name_of = dict(zip(nsel.n_nationkey, nsel.n_name))
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    # --- hop 1: orders x customer on custkey -------------------------------
+    def o_map(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_custkey"], "o_orderkey": t["o_orderkey"]})
+
+    def c_map(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["c_custkey"], "c_nationkey": t["c_nationkey"]})
+
+    def bucket_key(t: pa.Table) -> np.ndarray:
+        return stable_bucket(t["key"].to_numpy(zero_copy_only=False), num_buckets)
+
+    o_grid = exchange_map(
+        shard_list(sf_dir, "orders"), o_map, bucket_key, num_buckets,
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filters=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
+    )
+    c_grid = exchange_map(
+        shard_list(sf_dir, "customer"), c_map, bucket_key, num_buckets,
+        columns=["c_custkey", "c_nationkey"],
+        filters=pds.field("c_nationkey").isin(nation_keys),
+    )
+
+    def join1(b: int, o: pa.Table, c: pa.Table) -> pa.Table:
+        j = o.to_pandas().merge(c.to_pandas(), on="key")
+        return pa.Table.from_pandas(
+            j[["o_orderkey", "c_nationkey"]], preserve_index=False
+        )
+
+    hop1 = exchange_join_refs(o_grid, c_grid, join1, num_buckets, emit="refs")
+
+    # --- hop 2: hop1 x lineitem on orderkey ---------------------------------
+    bits = ray.put(build_key_bloom_refs(hop1, "o_orderkey"))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = bloom_probe(okey, ray.get(bits), 1 << 23, 4)
+        t = t.filter(pa.array(keep))
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev_i": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    def bucket_okey(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["o_orderkey"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    li_grid = exchange_map(
+        shard_list(sf_dir, "lineitem"), li_map, bucket_okey, num_buckets,
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    hop1_grid = rebucket_refs(hop1, "o_orderkey", num_buckets)
+
+    def join2(b: int, h1: pa.Table, li: pa.Table) -> pa.Table:
+        j = li.to_pandas().merge(h1.to_pandas(), on="o_orderkey")
+        g = j.groupby(["l_suppkey", "c_nationkey"], as_index=False, sort=False)[
+            "rev_i"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hop2 = exchange_join_refs(hop1_grid, li_grid, join2, num_buckets, emit="refs")
+
+    # --- hop 3: hop2 x supplier on suppkey, same-nation filter --------------
+    def s_map(t: pa.Table) -> pa.Table:
+        return pa.table({"l_suppkey": t["s_suppkey"], "s_nationkey": t["s_nationkey"]})
+
+    def bucket_skey(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["l_suppkey"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    s_grid = exchange_map(
+        shard_list(sf_dir, "supplier"), s_map, bucket_skey, num_buckets,
+        columns=["s_suppkey", "s_nationkey"],
+        filters=pds.field("s_nationkey").isin(nation_keys),
+    )
+    hop2_grid = rebucket_refs(hop2, "l_suppkey", num_buckets)
+
+    def join3(b: int, h2: pa.Table, s: pa.Table) -> pd.DataFrame:
+        j = h2.to_pandas().merge(s.to_pandas(), on="l_suppkey")
+        j = j[j.c_nationkey == j.s_nationkey]
+        return j.groupby("s_nationkey", as_index=False)["rev_i"].sum()
+
+    parts = exchange_join_refs(hop2_grid, s_grid, join3, num_buckets)
+    if not len(parts):
+        return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                             "revenue": pd.Series(dtype=float)})
+    out = parts.groupby("s_nationkey", as_index=False)["rev_i"].sum()
+    out["n_name"] = out.s_nationkey.map(name_of)
+    # exact int64 / 10000.0 on both sides -> bit-identical doubles
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    return (
+        out[["n_name", "revenue"]]
+        .sort_values(["revenue", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
 QUERIES = {
     "monthly_order_revenue": monthly_order_revenue,
     "urgent_order_month_revenue": urgent_order_month_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
+    "q5_region_nation_revenue": q5_region_nation_revenue,
     "customers_per_region": customers_per_region,
     "top_customers_by_max_order": top_customers_by_max_order,
     "distinct_segments": distinct_segments,
@@ -716,6 +885,7 @@ ORACLE = {
     "urgent_order_month_revenue": URGENT_REVENUE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
+    "q5_region_nation_revenue": Q5_SQL,
     "customers_per_region": REGION_SQL,
     "top_customers_by_max_order": TOP_CUST_SQL,
     "distinct_segments": DISTINCT_SQL,

@@ -201,3 +201,121 @@ def exchange_join(
             "partials / top-k, or write per-bucket output instead"
         )
     return res
+
+
+# --- chained (multi-way) exchange joins -------------------------------------
+#
+# A star/chain query (fact ⨝ dim1 ⨝ dim2 ⨝ ...) changes join key between
+# hops, so each hop's output must be RE-EXCHANGED on the next key. The
+# intermediates stay in the object store as per-bucket Arrow tables — the
+# driver only ever holds ObjectRefs, never rows — so a three-hop join over a
+# 10^12-row fact table moves each surviving row through plasma twice and
+# through the driver zero times. Compose:
+#
+#   grid_l = exchange_map(paths, ..., bucket_fn(key1), B1)    # from storage
+#   refs1  = exchange_join_refs(grid_l, grid_r, reduce1, B1, emit="refs")
+#   grid2  = rebucket_refs(refs1, key2, B2)                   # re-key hop
+#   refs2  = exchange_join_refs(grid2, grid_fact2, reduce2, B2, emit="refs")
+#   final  = exchange_join_refs(..., emit="pandas")           # small root
+#
+# reduce_fn for emit="refs" must return a pyarrow Table (pre-aggregate /
+# project so hops shrink); for emit="pandas" a small pandas DataFrame.
+
+
+def rebucket_refs(
+    table_refs: list["ray.ObjectRef"],
+    key: str,
+    num_buckets: int,
+    map_fn: Callable[[pa.Table], pa.Table] | None = None,
+) -> list[list["ray.ObjectRef"]]:
+    """Second-hop exchange: one split task per upstream reduce output,
+    bucketing its rows on ``hash(key) % num_buckets``. Returns the same
+    ``refs[i][b]`` grid shape ``exchange_map`` produces, so the two exchange
+    sources compose interchangeably. Empty/None upstream outputs yield
+    zero-row slices that the bucket join skips."""
+    from .exchange import _split_by_bucket
+
+    @ray.remote(num_returns=num_buckets)
+    def split(t):
+        if t is None or t.num_rows == 0:
+            empty = pa.table({})
+            return tuple([empty] * num_buckets) if num_buckets > 1 else empty
+        if map_fn is not None:
+            t = map_fn(t)
+        bucket = stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
+        parts = _split_by_bucket(t, bucket, num_buckets)
+        return tuple(parts) if num_buckets > 1 else parts[0]
+
+    out = [split.remote(r) for r in table_refs]
+    if num_buckets == 1:
+        out = [[r] for r in out]
+    return out
+
+
+def build_key_bloom_refs(
+    table_refs: list["ray.ObjectRef"],
+    key: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+) -> np.ndarray:
+    """Bloom bits over the keys of in-flight per-bucket tables (an upstream
+    hop's outputs) — lets a later hop prefilter its BIG storage side by the
+    keys that actually survived the earlier joins. num_bits/8 bytes per
+    upstream bucket cross the driver, independent of row count."""
+
+    @ray.remote
+    def part_bloom(t) -> np.ndarray:
+        if t is None or t.num_rows == 0:
+            return np.zeros(num_bits // 8, dtype=np.uint8)
+        return bloom_insert(t[key].to_numpy(zero_copy_only=False), num_bits, num_hashes)
+
+    parts = ray.get([part_bloom.remote(r) for r in table_refs])
+    out = np.zeros(num_bits // 8, dtype=np.uint8)
+    for p in parts:
+        out |= p
+    return out
+
+
+def exchange_join_refs(
+    left_refs: list[list["ray.ObjectRef"]],
+    right_refs: list[list["ray.ObjectRef"]],
+    reduce_fn: Callable[[int, pa.Table, pa.Table], object],
+    num_buckets: int,
+    emit: str = "pandas",
+    driver_row_cap: int = 5_000_000,
+):
+    """Per-bucket join over two ``refs[i][b]`` grids (from ``exchange_map``
+    or ``rebucket_refs``). ``emit='pandas'`` ray.gets the (small) reduce
+    outputs and concatenates under the driver-root cap; ``emit='refs'``
+    leaves each bucket's output pyarrow Table in the object store and
+    returns the list of refs for the next hop."""
+
+    n_left = len(left_refs)
+
+    @ray.remote
+    def join_bucket(b: int, *parts):
+        lp = [p for p in parts[:n_left] if p is not None and p.num_rows]
+        rp = [p for p in parts[n_left:] if p is not None and p.num_rows]
+        if not lp or not rp:
+            return None if emit == "refs" else pd.DataFrame()
+        return reduce_fn(b, pa.concat_tables(lp), pa.concat_tables(rp))
+
+    out = [
+        join_bucket.remote(
+            b,
+            *[left_refs[i][b] for i in range(n_left)],
+            *[right_refs[i][b] for i in range(len(right_refs))],
+        )
+        for b in range(num_buckets)
+    ]
+    if emit == "refs":
+        return out
+    frames = [f for f in ray.get(out) if f is not None and len(f)]
+    res = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    if len(res) > driver_row_cap:
+        raise RuntimeError(
+            f"exchange_join_refs driver root collected {len(res):,} rows "
+            f"(> cap {driver_row_cap:,}): aggregate in reduce_fn or keep "
+            "emit='refs' and write per bucket"
+        )
+    return res
