@@ -523,6 +523,69 @@ def first_event_per_user(sf_dir: str):
     return _per_bucket_events(sf_dir, ["event_type"], fn)
 
 
+def latest_event_per_user_type(sf_dir: str):
+    """Last-writer-wins compaction (the upsert / log-compaction view): the
+    newest event per (user_id, event_type), ties on ts broken by event_id.
+    'Latest' is associative, so every map task compacts its shard BEFORE
+    the exchange — shuffle volume is bounded by keys-per-shard, not rows,
+    which is what makes compaction of a 10^12-row log feasible; the reduce
+    re-compacts each user bucket. Driver root is bounded by the compacted
+    key domain (|users| × |event types|) — at real scale this is a
+    write_parquet sink, not a collect."""
+    from ..stages.exchange import auto_num_buckets, hash_exchange
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "events")
+    cols = ["user_id", "event_type", "ts", "event_id", "value"]
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                           kind="mergesort")
+            .groupby(["user_id", "event_type"], as_index=False, sort=False)
+            .tail(1)
+        )
+
+    def map_fn(t):
+        import pyarrow as pa
+
+        epoch = pa.array(t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) / 1e6)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", epoch)
+        return pa.Table.from_pandas(compact(t.to_pandas()), preserve_index=False)
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        last = compact(tbl.to_pandas())
+        return pd.DataFrame(
+            {
+                "user_id": last["user_id"],
+                "event_type": last["event_type"],
+                "last_event_id": last["event_id"].astype(np.int64),
+                "last_value": last["value"],
+                "last_ts": last["ts"].round(6),
+            }
+        )
+
+    out = hash_exchange(
+        shards, map_fn, "user_id",
+        auto_num_buckets(shards, min_buckets=NUM_BUCKETS),
+        reduce_fn, columns=cols,
+    )
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+LATEST_EVENT_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, value, epoch(ts) AS ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS last_event_id, value AS last_value,
+       round(ts, 6) AS last_ts
+FROM r WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
 FIRST_EVENT_SQL = """
 WITH r AS (
   SELECT user_id, event_id, event_type, epoch(ts) AS ts,
@@ -1028,6 +1091,7 @@ QUERIES = {
     "top_users_per_event_type": top_users_per_event_type,
     "sessionize_user_events": sessionize_user_events,
     "first_event_per_user": first_event_per_user,
+    "latest_event_per_user_type": latest_event_per_user_type,
     "user_set_ops": user_set_ops,
     "sliding_window_mean": sliding_window_mean,
     "time_since_prev_event": time_since_prev_event,
@@ -1053,6 +1117,7 @@ ORACLE = {
     "top_users_per_event_type": TOP_USERS_PER_TYPE_SQL,
     "sessionize_user_events": SESSIONIZE_SQL,
     "first_event_per_user": FIRST_EVENT_SQL,
+    "latest_event_per_user_type": LATEST_EVENT_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,
     "time_since_prev_event": SINCE_PREV_SQL,

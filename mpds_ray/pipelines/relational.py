@@ -848,6 +848,128 @@ def q5_region_nation_revenue(
     )
 
 
+def lineitem_corr_by_flag(sf_dir: str):
+    """Distributed Pearson correlation from EXACT integer moment partials.
+
+    corr(X, Y) needs only (n, Σx, Σy, Σx², Σy², Σxy) — all associative, so
+    each shard task emits one 6-tuple per group and the driver folds a
+    key-domain-bounded frame (A2 combiner shape; no shuffle). Quantities are
+    integers ≤ 50 and discounts 2-decimal (pct ints ≤ 10), so every moment
+    stays exact int64 at any SF (Σxy ≤ 500·n). The closed form then runs on
+    doubles derived from identical integers with an identical expression
+    tree in the SQL oracle → bit-identical floats, immune to the
+    accumulation-order divergence a naive float corr would hit."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        d = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "sx": q, "sy": d, "sxx": q * q, "syy": d * d, "sxy": q * d,
+            }
+        )
+
+    from .common import shard_groupby_sum
+
+    g = shard_groupby_sum(
+        sf_dir, "lineitem", ["l_returnflag"],
+        {c: c for c in ("sx", "sy", "sxx", "syy", "sxy")},
+        count_as="n",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+        prep=prep,
+    )
+    n = g["n"].to_numpy(dtype=np.float64)
+    sx = g["sx"].to_numpy(dtype=np.float64)
+    sy = g["sy"].to_numpy(dtype=np.float64)
+    sxx = g["sxx"].to_numpy(dtype=np.float64)
+    syy = g["syy"].to_numpy(dtype=np.float64)
+    sxy = g["sxy"].to_numpy(dtype=np.float64)
+    corr = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = pd.DataFrame({"l_returnflag": g["l_returnflag"], "qty_disc_corr": corr})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         AS qty_disc_corr
+FROM m ORDER BY l_returnflag
+"""
+
+
+def rollup_sales_by_flag_status(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — multi-level subtotals
+    from ONE pass of finest-level partials: shard tasks pre-reduce to one
+    row per (flag, status) (≤ 6-key domain), the driver folds them and
+    derives the coarser levels by re-aggregating the fold (exact int64
+    revenue is order-free, so subtotals are bit-identical to a direct
+    group). Rolled-up columns surface as 'ALL' on both sides to keep the
+    column string-typed."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "rev_i": cents * (100 - disc),
+            }
+        )
+
+    from .common import shard_groupby_sum
+
+    g = shard_groupby_sum(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus"],
+        {"rev_i": "rev_i"},
+        count_as="n_rows",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+        prep=prep,
+    )
+    lvl1 = g.groupby("l_returnflag", as_index=False)[["rev_i", "n_rows"]].sum()
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+            "rev_i": [g["rev_i"].sum()], "n_rows": [g["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([g, lvl1, lvl0], ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    return (
+        out[["l_returnflag", "l_linestatus", "n_rows", "revenue"]]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
 Q5_SQL = """
 SELECT n_name,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -868,6 +990,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_nation_revenue": q5_region_nation_revenue,
+    "lineitem_corr_by_flag": lineitem_corr_by_flag,
+    "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
     "customers_per_region": customers_per_region,
     "top_customers_by_max_order": top_customers_by_max_order,
     "distinct_segments": distinct_segments,
@@ -886,6 +1010,8 @@ ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_nation_revenue": Q5_SQL,
+    "lineitem_corr_by_flag": CORR_SQL,
+    "rollup_sales_by_flag_status": ROLLUP_SQL,
     "customers_per_region": REGION_SQL,
     "top_customers_by_max_order": TOP_CUST_SQL,
     "distinct_segments": DISTINCT_SQL,
