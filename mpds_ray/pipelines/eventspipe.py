@@ -139,6 +139,195 @@ SELECT user_id, session_seq, count(*) AS n_events,
 FROM s GROUP BY user_id, session_seq
 """
 
+def session_funnel(sf_dir: str):
+    """Sessionized funnel conversion (view → later purchase in the SAME
+    session): each bucket sessionizes its users, computes per-session
+    first-view timestamps with a masked-min transform and flags purchases
+    at/after it — all vectorized — then emits ONE partial count row, so the
+    driver folds a bucket-count-bounded frame into three exact int64 counts
+    and a rate that is a single int/int double division on both sides."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        sid = sessionize_gap(g["user_id"].to_numpy(), g["ts"].to_numpy(), SESSION_GAP)
+        g = g.assign(_sid=sid)
+        vts = np.where(g["event_type"].to_numpy() == "view",
+                       g["ts"].to_numpy(), np.inf)
+        g = g.assign(_vts=vts)
+        grp = g.groupby(["user_id", "_sid"], sort=False)
+        first_view = grp["_vts"].transform("min").to_numpy()
+        conv = (g["event_type"].to_numpy() == "purchase") & (
+            g["ts"].to_numpy() >= first_view
+        )
+        per_sess = grp.agg(
+            has_view=("_vts", lambda v: bool(np.isfinite(v).any())),
+        )
+        per_sess["converted"] = pd.Series(conv, index=g.index).groupby(
+            [g["user_id"], g["_sid"]], sort=False
+        ).any()
+        return pd.DataFrame(
+            {
+                "n_sessions": [len(per_sess)],
+                "sessions_with_view": [int(per_sess.has_view.sum())],
+                "converted_sessions": [int(per_sess.converted.sum())],
+            }
+        )
+
+    parts = _per_bucket_events(sf_dir, ["event_type"], fn)
+    out = parts.sum().to_frame().T.astype(np.int64)
+    out["conversion_rate"] = float(out.converted_sessions.iloc[0]) / float(
+        out.sessions_with_view.iloc[0]
+    )
+    return out.reset_index(drop=True)
+
+
+FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch(ts) AS ts FROM events
+), m AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {SESSION_GAP}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+), sess AS (
+  SELECT user_id, session_seq,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM s GROUP BY user_id, session_seq
+), conv AS (
+  SELECT s.user_id, s.session_seq,
+         max(CASE WHEN s.event_type = 'purchase' AND s.ts >= sess.first_view
+                  THEN 1 ELSE 0 END) AS converted,
+         max(CASE WHEN sess.first_view IS NOT NULL THEN 1 ELSE 0 END) AS has_view
+  FROM s JOIN sess USING (user_id, session_seq)
+  GROUP BY s.user_id, s.session_seq
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(has_view) AS BIGINT) AS sessions_with_view,
+       CAST(sum(converted) AS BIGINT) AS converted_sessions,
+       CAST(sum(converted) AS DOUBLE) / CAST(sum(has_view) AS DOUBLE)
+         AS conversion_rate
+FROM conv
+"""
+
+
+def user_value_lag_lead(sf_dir: str):
+    """Per-event lag/lead/delta of value within each user's timeline — the
+    north-star's lag/lead feature as a bucket scan: each reduce task holds
+    its bucket sorted by (user_id, ts, event_id), so lag/lead are two
+    shifted views with user-boundary rows masked to NaN (no per-row loop,
+    no window shuffle). Entity-hash partitioning guarantees a user never
+    straddles buckets, so boundaries are exact."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        u = g["user_id"].to_numpy()
+        n = len(v)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = first[1:]
+        lag = np.empty_like(v)
+        lag[1:] = v[:-1]
+        lag[first] = np.nan
+        lead = np.empty_like(v)
+        lead[:-1] = v[1:]
+        lead[last] = np.nan
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "value": v,
+                "value_lag1": lag,
+                "value_lead1": lead,
+                "value_delta": v - lag,
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["value"], fn)
+
+
+LAG_LEAD_SQL = """
+SELECT user_id, event_id, value,
+       lag(value)  OVER w AS value_lag1,
+       lead(value) OVER w AS value_lead1,
+       value - lag(value) OVER w AS value_delta
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def user_mode_event_type(sf_dir: str):
+    """Grouped mode (most frequent event_type per user), ties broken by
+    type name: counts are associative, so map tasks pre-reduce each shard
+    to (user, type, n) partials — the exchange moves at most
+    |users|×|types| rows per shard regardless of row count — and each
+    reduce bucket folds partials and takes one deterministic argmax row
+    per user."""
+    from ..stages.exchange import auto_num_buckets, hash_exchange
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "events")
+
+    def map_fn(t):
+        import pyarrow as pa
+
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                    "event_type": t["event_type"].to_pandas(),
+                }
+            )
+            .groupby(["user_id", "event_type"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        g = (
+            tbl.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False, sort=False)["n"]
+            .sum()
+        )
+        top = (
+            g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+            .groupby("user_id", as_index=False, sort=False)
+            .head(1)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"],
+                "top_type": top["event_type"],
+                "n_events": top["n"].astype(np.int64),
+            }
+        )
+
+    out = hash_exchange(
+        shards, map_fn, "user_id",
+        auto_num_buckets(shards, min_buckets=NUM_BUCKETS),
+        reduce_fn, columns=["user_id", "event_type"],
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS top_type, n AS n_events
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 # --- T4 forward: inter-arrival time ---
 
 
@@ -1090,6 +1279,9 @@ QUERIES = {
     "props_json_stats": props_json_stats,
     "top_users_per_event_type": top_users_per_event_type,
     "sessionize_user_events": sessionize_user_events,
+    "session_funnel": session_funnel,
+    "user_value_lag_lead": user_value_lag_lead,
+    "user_mode_event_type": user_mode_event_type,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
     "user_set_ops": user_set_ops,
@@ -1118,6 +1310,9 @@ ORACLE = {
     "sessionize_user_events": SESSIONIZE_SQL,
     "first_event_per_user": FIRST_EVENT_SQL,
     "latest_event_per_user_type": LATEST_EVENT_SQL,
+    "session_funnel": FUNNEL_SQL,
+    "user_value_lag_lead": LAG_LEAD_SQL,
+    "user_mode_event_type": MODE_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,
     "time_since_prev_event": SINCE_PREV_SQL,

@@ -848,6 +848,86 @@ def q5_region_nation_revenue(
     )
 
 
+def part_type_revenue_share(sf_dir: str, num_buckets: int = 16):
+    """TPC-H Q14-shaped big×big join: one ship-month of lineitem ⨝ part on
+    partkey, revenue share per p_type. The month filter pushes into the
+    lineitem scan AND seeds a bloom over the qualifying partkeys, so part
+    rows (the other 10^9-row side at scale) that match no shipped item are
+    dropped map-side before the exchange; lineitem pre-aggregates one rev_i
+    partial per partkey per shard (combiner). The share is a division of
+    two exact int64 sums → bit-identical to the SQL oracle."""
+    import pyarrow.dataset as pds
+
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    lo = pd.Timestamp("1997-03-01")
+    hi = pd.Timestamp("1997-04-01")
+
+    def li_map(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                 "rev_i": cents * (100 - disc)}
+            )
+            .groupby("p_partkey", as_index=False, sort=False)["rev_i"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def p_map(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"], "p_type": t["p_type"]})
+
+    def reduce_fn(b: int, li: pa.Table, part: pa.Table) -> pd.DataFrame:
+        j = li.to_pandas().merge(part.to_pandas(), on="p_partkey")
+        return j.groupby("p_type", as_index=False)["rev_i"].sum()
+
+    out = exchange_join(
+        shard_list(sf_dir, "lineitem"),
+        shard_list(sf_dir, "part"),
+        "p_partkey",
+        reduce_fn,
+        num_buckets,
+        left_map=li_map,
+        right_map=p_map,
+        columns_left=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        columns_right=["p_partkey", "p_type"],
+        filters_left=(pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi),
+        bloom_from="left",
+    )
+    out = out.groupby("p_type", as_index=False)["rev_i"].sum()
+    total = out["rev_i"].sum()
+    out["revenue"] = out["rev_i"] / 10000.0
+    out["share"] = out.pop("rev_i") / float(total)
+    return (
+        out[["p_type", "revenue", "share"]]
+        .sort_values("p_type")
+        .reset_index(drop=True)
+    )
+
+
+Q14_SHARE_SQL = """
+WITH m AS (
+  SELECT p_type,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY p_type
+)
+SELECT p_type,
+       rev_i / 10000.0 AS revenue,
+       CAST(rev_i AS DOUBLE) / CAST((SELECT sum(rev_i) FROM m) AS DOUBLE) AS share
+FROM m ORDER BY p_type
+"""
+
+
 def lineitem_corr_by_flag(sf_dir: str):
     """Distributed Pearson correlation from EXACT integer moment partials.
 
@@ -992,6 +1072,7 @@ QUERIES = {
     "q5_region_nation_revenue": q5_region_nation_revenue,
     "lineitem_corr_by_flag": lineitem_corr_by_flag,
     "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
+    "part_type_revenue_share": part_type_revenue_share,
     "customers_per_region": customers_per_region,
     "top_customers_by_max_order": top_customers_by_max_order,
     "distinct_segments": distinct_segments,
@@ -1012,6 +1093,7 @@ ORACLE = {
     "q5_region_nation_revenue": Q5_SQL,
     "lineitem_corr_by_flag": CORR_SQL,
     "rollup_sales_by_flag_status": ROLLUP_SQL,
+    "part_type_revenue_share": Q14_SHARE_SQL,
     "customers_per_region": REGION_SQL,
     "top_customers_by_max_order": TOP_CUST_SQL,
     "distinct_segments": DISTINCT_SQL,
