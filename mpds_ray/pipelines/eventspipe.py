@@ -328,6 +328,103 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+def user_value_percent_rank(sf_dir: str):
+    """Per-user rank and percent_rank of value — the window-rank feature as
+    a bucket scan: each bucket re-sorts by (user, value, event_id) with ONE
+    stable mergesort, then rank is arange minus a repeated segment start
+    (no per-group loop). The (value, event_id) order key is a total order,
+    so percent_rank degenerates to (row_number-1)/(n-1) — an integer/integer
+    double division computed identically on both sides."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        u = g2["user_id"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "value": [],
+                 "value_rank": [], "pct_rank": []}
+            )
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, n))
+        idx = np.arange(n) - np.repeat(starts, seg_len)
+        denom = np.repeat(seg_len, seg_len) - 1
+        pct = np.where(denom > 0, idx / np.maximum(denom, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": g2["event_id"].to_numpy().astype(np.int64),
+                "value": g2["value"].to_numpy(),
+                "value_rank": (idx + 1).astype(np.int64),
+                "pct_rank": np.round(pct, 9),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["value"], fn)
+
+
+PCT_RANK_SQL = """
+SELECT user_id, event_id, value,
+       row_number() OVER w AS value_rank,
+       round(percent_rank() OVER w, 9) AS pct_rank
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
+def user_time_weighted_value(sf_dir: str):
+    """Time-weighted (LOCF-held) mean value per user: each event's value
+    holds until the next event, so the weight is the forward gap and the
+    mean is Σ v·Δt over the user's span — two segment reduceats over the
+    sorted bucket, no window shuffle. Single-event / zero-span users are
+    excluded on both sides (HAVING span > 0)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        v = g["value"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "twa_value": []})
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = first[1:]
+        dt = np.empty_like(ts)
+        dt[:-1] = ts[1:] - ts[:-1]
+        dt[last] = 0.0
+        starts = np.flatnonzero(first)
+        num = np.add.reduceat(v * dt, starts)
+        span = ts[np.flatnonzero(last)] - ts[starts]
+        mask = span > 0
+        return pd.DataFrame(
+            {
+                "user_id": u[starts][mask],
+                "twa_value": np.round(num[mask] / span[mask], 6),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["value"], fn)
+
+
+TWA_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch(ts) AS ts FROM events
+), w AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM e
+)
+SELECT user_id,
+       round(sum(value * (nxt - ts)) / (max(ts) - min(ts)), 6) AS twa_value
+FROM w GROUP BY user_id HAVING max(ts) > min(ts) ORDER BY user_id
+"""
+
+
 # --- T4 forward: inter-arrival time ---
 
 
@@ -1282,6 +1379,8 @@ QUERIES = {
     "session_funnel": session_funnel,
     "user_value_lag_lead": user_value_lag_lead,
     "user_mode_event_type": user_mode_event_type,
+    "user_value_percent_rank": user_value_percent_rank,
+    "user_time_weighted_value": user_time_weighted_value,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
     "user_set_ops": user_set_ops,
@@ -1313,6 +1412,8 @@ ORACLE = {
     "session_funnel": FUNNEL_SQL,
     "user_value_lag_lead": LAG_LEAD_SQL,
     "user_mode_event_type": MODE_SQL,
+    "user_value_percent_rank": PCT_RANK_SQL,
+    "user_time_weighted_value": TWA_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,
     "time_since_prev_event": SINCE_PREV_SQL,

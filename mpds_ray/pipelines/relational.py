@@ -928,6 +928,74 @@ FROM m ORDER BY p_type
 """
 
 
+def small_quantity_revenue(sf_dir: str, num_buckets: int = 16,
+                           brand: str = "Brand#4"):
+    """TPC-H Q17 shape: revenue of below-avg-quantity lineitems for one
+    brand's parts — an aggregate-self-join. The brand predicate pushes into
+    the part scan and seeds a bloom over its partkeys, so fact rows for
+    other brands never enter the exchange; each reduce bucket holds EVERY
+    surviving lineitem row of its partkeys (entity-complete by the join
+    exchange), so the per-part avg-quantity threshold and the below-avg
+    filter are one vectorized transform — no second pass over the fact
+    table. Quantities are integer-valued, so the avg is a division of exact
+    sums and the threshold compare is bit-identical to SQL; revenue rides
+    exact int cents divided once at the root."""
+    import pyarrow.dataset as pds
+
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    def li_map(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"p_partkey": t["l_partkey"], "qty": t["l_quantity"],
+             "price_i": pa.array(cents)}
+        )
+
+    def p_map(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"]})
+
+    def reduce_fn(b: int, li: pa.Table, part: pa.Table) -> pd.DataFrame:
+        df = li.to_pandas()
+        # drop bloom false positives with the exact key set for this bucket
+        df = df[df["p_partkey"].isin(part["p_partkey"].to_numpy(zero_copy_only=False))]
+        if len(df):
+            avg = df.groupby("p_partkey")["qty"].transform("mean")
+            rev = int(df.loc[df["qty"].to_numpy() < 0.2 * avg.to_numpy(),
+                             "price_i"].sum())
+        else:
+            rev = 0
+        return pd.DataFrame({"rev_i": [rev]})
+
+    out = exchange_join(
+        shard_list(sf_dir, "lineitem"),
+        shard_list(sf_dir, "part"),
+        "p_partkey",
+        reduce_fn,
+        num_buckets,
+        left_map=li_map,
+        right_map=p_map,
+        columns_left=["l_partkey", "l_quantity", "l_extendedprice"],
+        columns_right=["p_partkey"],
+        filters_right=pds.field("p_brand") == brand,
+        bloom_from="right",
+    )
+    return pd.DataFrame({"avg_yearly": [out["rev_i"].sum() / 700.0]})
+
+
+Q17_SQL = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < 0.2 * (
+        SELECT avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
 def lineitem_corr_by_flag(sf_dir: str):
     """Distributed Pearson correlation from EXACT integer moment partials.
 
@@ -1073,6 +1141,7 @@ QUERIES = {
     "lineitem_corr_by_flag": lineitem_corr_by_flag,
     "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
     "part_type_revenue_share": part_type_revenue_share,
+    "small_quantity_revenue": small_quantity_revenue,
     "customers_per_region": customers_per_region,
     "top_customers_by_max_order": top_customers_by_max_order,
     "distinct_segments": distinct_segments,
@@ -1094,6 +1163,7 @@ ORACLE = {
     "lineitem_corr_by_flag": CORR_SQL,
     "rollup_sales_by_flag_status": ROLLUP_SQL,
     "part_type_revenue_share": Q14_SHARE_SQL,
+    "small_quantity_revenue": Q17_SQL,
     "customers_per_region": REGION_SQL,
     "top_customers_by_max_order": TOP_CUST_SQL,
     "distinct_segments": DISTINCT_SQL,

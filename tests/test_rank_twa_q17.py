@@ -1,0 +1,115 @@
+"""Percent-rank window, time-weighted value, and Q17-shape self-join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(d, rows):
+    """rows: (event_id, user_id, event_type, sec_offset, value)."""
+    base = pd.Timestamp("2024-01-01").value // 1000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + int(r[3] * 1_000_000) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": [r[2] for r in rows],
+                "value": [float(r[4]) for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        d / "events.parquet",
+    )
+
+
+def test_percent_rank_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import user_value_percent_rank
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1: values 5, 1, 3 -> ranks 3, 1, 2; pct 1.0, 0.0, 0.5
+    # user 2: single event -> rank 1, pct 0.0
+    # user 3: tied values, ties broken by event_id
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 5.0),
+            (2, 1, "view", 10, 1.0),
+            (3, 1, "view", 20, 3.0),
+            (4, 2, "view", 0, 9.0),
+            (5, 3, "view", 0, 7.0),
+            (6, 3, "view", 10, 7.0),
+        ],
+    )
+    out = user_value_percent_rank(str(d)).sort_values("event_id")
+    got = dict(zip(out.event_id, zip(out.value_rank, out.pct_rank)))
+    assert got[1] == (3, 1.0)
+    assert got[2] == (1, 0.0)
+    assert got[3] == (2, 0.5)
+    assert got[4] == (1, 0.0)
+    assert got[5] == (1, 0.0) and got[6] == (2, 1.0)
+
+
+def test_time_weighted_value_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import user_time_weighted_value
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1: v=10 held 30s, v=20 held 10s -> (10*30+20*10)/40 = 12.5
+    # user 2: single event -> excluded (zero span)
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 10.0),
+            (2, 1, "view", 30, 20.0),
+            (3, 1, "view", 40, 99.0),
+            (4, 2, "view", 0, 5.0),
+        ],
+    )
+    out = user_time_weighted_value(str(d))
+    assert list(out.user_id) == [1]
+    assert np.isclose(out.twa_value.iloc[0], 12.5)
+
+
+def test_small_quantity_revenue_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from mpds_ray.pipelines.relational import Q17_SQL, small_quantity_revenue
+
+    got = small_quantity_revenue(sf_dir, num_buckets=4)
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    exp = con.execute(Q17_SQL).df()
+    assert np.isclose(got.avg_yearly.iloc[0], exp.avg_yearly.iloc[0])
+    assert got.avg_yearly.iloc[0] > 0
+
+
+def test_small_quantity_revenue_bloom_parity(ray_session, sf_dir):
+    """The bloom prefilter must not change the result (exact per-bucket
+    join discards false positives)."""
+    from unittest import mock
+
+    from mpds_ray.pipelines import relational
+    from mpds_ray.stages import hashjoin
+
+    with_bloom = relational.small_quantity_revenue(sf_dir, num_buckets=4)
+
+    orig = hashjoin.exchange_join
+
+    def no_bloom(*a, **kw):
+        kw["bloom_from"] = None
+        return orig(*a, **kw)
+
+    with mock.patch.object(hashjoin, "exchange_join", side_effect=no_bloom):
+        # relational imports exchange_join inside the function body, so the
+        # module-level patch is what it resolves
+        without = relational.small_quantity_revenue(sf_dir, num_buckets=4)
+    pd.testing.assert_frame_equal(with_bloom, without)
