@@ -425,6 +425,51 @@ FROM w GROUP BY user_id HAVING max(ts) > min(ts) ORDER BY user_id
 """
 
 
+def view_purchase_transitions(sf_dir: str):
+    """Adjacent-pair sequence-pattern count (MATCH_RECOGNIZE-lite): per
+    user, how many immediate view→purchase transitions occur in the
+    (ts, event_id)-ordered stream. One shifted-mask AND over the sorted
+    bucket — entity boundaries masked — then a bincount-style segment sum;
+    users with zero matches are kept (LEFT semantics) so the output is
+    exactly one row per user."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "n_transitions": []})
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        hit = np.zeros(n, dtype=np.int64)
+        hit[1:] = (et[:-1] == "view") & (et[1:] == "purchase")
+        hit[first] = 0
+        starts = np.flatnonzero(first)
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "n_transitions": np.add.reduceat(hit, starts),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["event_type"], fn)
+
+
+TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_type = 'view' AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions
+FROM e GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --- T4 forward: inter-arrival time ---
 
 
@@ -1381,6 +1426,7 @@ QUERIES = {
     "user_mode_event_type": user_mode_event_type,
     "user_value_percent_rank": user_value_percent_rank,
     "user_time_weighted_value": user_time_weighted_value,
+    "view_purchase_transitions": view_purchase_transitions,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
     "user_set_ops": user_set_ops,
@@ -1414,6 +1460,7 @@ ORACLE = {
     "user_mode_event_type": MODE_SQL,
     "user_value_percent_rank": PCT_RANK_SQL,
     "user_time_weighted_value": TWA_SQL,
+    "view_purchase_transitions": TRANSITIONS_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,
     "time_since_prev_event": SINCE_PREV_SQL,

@@ -113,3 +113,27 @@ def test_small_quantity_revenue_bloom_parity(ray_session, sf_dir):
         # module-level patch is what it resolves
         without = relational.small_quantity_revenue(sf_dir, num_buckets=4)
     pd.testing.assert_frame_equal(with_bloom, without)
+
+
+def test_view_purchase_transitions_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import view_purchase_transitions
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1: view,purchase,view,view,purchase -> 2 transitions
+    # user 2: purchase,view -> 0 (order matters)
+    # user 3 ends with view while user 4 STARTS with purchase: the
+    # boundary between them must not count as a transition
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1), (2, 1, "purchase", 1, 1),
+            (3, 1, "view", 2, 1), (4, 1, "view", 3, 1),
+            (5, 1, "purchase", 4, 1),
+            (6, 2, "purchase", 0, 1), (7, 2, "view", 1, 1),
+            (8, 3, "view", 0, 1),
+            (9, 4, "purchase", 0, 1),
+        ],
+    )
+    out = view_purchase_transitions(str(d)).sort_values("user_id")
+    assert dict(zip(out.user_id, out.n_transitions)) == {1: 2, 2: 0, 3: 0, 4: 0}
