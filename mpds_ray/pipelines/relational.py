@@ -1132,12 +1132,262 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 """
 
 
+def large_order_customers(sf_dir: str, min_qty: float = 250.0, num_buckets: int = 16):
+    """TPC-H Q18-shaped aggregate-HAVING-join: orders whose total lineitem
+    quantity exceeds ``min_qty``, joined back to the order header and its
+    customer, top-100 by (o_totalprice DESC, o_orderkey). ONE exchange on
+    o_orderkey carries both the per-orderkey quantity partials (map-side
+    combiner) and the order header, so the HAVING filter and the join run
+    in the key-complete bucket; each bucket emits a TIE-AWARE partial
+    top-100 (full sort key incl. the unique o_orderkey), so the driver root
+    is <= 100 x num_buckets rows at any scale. Quantities ride exact
+    integer hundredths (int64) so distributed partial sums are
+    order-independent and the HAVING threshold can never flip on a float
+    ulp; c_name attaches to the FINAL 100 rows only (dimension lookup)."""
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    qty_i_min = int(round(min_qty * 100))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        qty_i = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                 "qty_i": qty_i}
+            )
+            .groupby("o_orderkey", as_index=False, sort=False)["qty_i"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def o_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    def reduce_fn(b: int, li: pa.Table, orders: pa.Table) -> pd.DataFrame:
+        g = li.to_pandas().groupby("o_orderkey", as_index=False)["qty_i"].sum()
+        g = g[g.qty_i > qty_i_min]
+        if not len(g):
+            return pd.DataFrame()
+        j = g.merge(orders.to_pandas(), on="o_orderkey")
+        return j.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(100)
+
+    out = exchange_join(
+        shard_list(sf_dir, "lineitem"),
+        shard_list(sf_dir, "orders"),
+        "o_orderkey",
+        reduce_fn,
+        num_buckets,
+        left_map=li_map,
+        right_map=o_map,
+        columns_left=["l_orderkey", "l_quantity"],
+        columns_right=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "c_name": pd.Series(dtype=object),
+                "o_orderkey": pd.Series(dtype=np.int64),
+                "o_totalprice": pd.Series(dtype=float),
+                "sum_qty": pd.Series(dtype=float),
+            }
+        )
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(100)
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = out.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    # exact int64 / 100.0 on both sides -> bit-identical doubles
+    out["sum_qty"] = out.pop("qty_i") / 100.0
+    return (
+        out[["c_name", "o_orderkey", "o_totalprice", "sum_qty"]]
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+Q18_SQL = """
+WITH q AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_i
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+)
+SELECT c_name, o_orderkey, o_totalprice, qty_i / 100.0 AS sum_qty
+FROM q JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def returned_item_revenue(sf_dir: str, num_buckets: int = 16):
+    """TPC-H Q10-shaped: revenue from RETURNED (l_returnflag='R') items per
+    customer inside a 6-month order window, top-20 customers. Hop 1
+    exchanges on o_orderkey — the returnflag predicate pushes into the
+    lineitem scan and rows pre-aggregate to per-orderkey revenue partials
+    map-side, while a bloom over the date-window orderkeys (one extra
+    pruned scan of orders) drops non-window fact partials BEFORE the
+    shuffle; hop 2 rebuckets the per-(custkey) partials on o_custkey so
+    every bucket holds each customer COMPLETELY and can emit a tie-aware
+    partial top-20 — the driver root is <= 20 x num_buckets rows, never the
+    customer domain. Names/nations attach to the final 20 rows only.
+    Revenue rides exact integer ten-thousandths (int64, see
+    urgent_order_month_revenue) so partial sums are order-independent."""
+    import pyarrow.dataset as pds
+
+    from ..stages.exchange import exchange_map
+    from ..stages.hashjoin import (
+        bloom_probe,
+        build_key_bloom,
+        exchange_join_refs,
+        rebucket_refs,
+    )
+    from ..stages.partition import stable_bucket
+    from .common import shard_list
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-07-01")
+    date_filter = (pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi)
+
+    bits = ray.put(
+        build_key_bloom(
+            shard_list(sf_dir, "orders"), "o_orderkey",
+            columns=["o_orderkey"], filters=date_filter,
+        )
+    )
+
+    def li_map(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(bloom_probe(okey, ray.get(bits), 1 << 23, 4)))
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                 "rev_i": cents * (100 - disc)}
+            )
+            .groupby("o_orderkey", as_index=False, sort=False)["rev_i"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def o_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+        )
+
+    def bucket_okey(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["o_orderkey"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    li_grid = exchange_map(
+        shard_list(sf_dir, "lineitem"), li_map, bucket_okey, num_buckets,
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filters=pds.field("l_returnflag") == "R",
+    )
+    o_grid = exchange_map(
+        shard_list(sf_dir, "orders"), o_map, bucket_okey, num_buckets,
+        columns=["o_orderkey", "o_custkey"],
+        filters=date_filter,
+    )
+
+    def join1(b: int, li: pa.Table, o: pa.Table) -> pa.Table:
+        j = li.to_pandas().merge(o.to_pandas(), on="o_orderkey")
+        g = j.groupby("o_custkey", as_index=False, sort=False)["rev_i"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hop1 = exchange_join_refs(li_grid, o_grid, join1, num_buckets, emit="refs")
+    grid2 = rebucket_refs(hop1, "o_custkey", num_buckets)
+
+    @ray.remote
+    def topk_bucket(*parts) -> pd.DataFrame:
+        ps = [p for p in parts if p is not None and p.num_rows]
+        if not ps:
+            return pd.DataFrame()
+        g = (
+            pa.concat_tables(ps)
+            .to_pandas()
+            .groupby("o_custkey", as_index=False)["rev_i"]
+            .sum()
+        )
+        # custkey-complete bucket -> tie-aware partial top-20 is exact
+        return g.sort_values(
+            ["rev_i", "o_custkey"], ascending=[False, True]
+        ).head(20)
+
+    frames = ray.get(
+        [
+            topk_bucket.remote(*[grid2[i][b] for i in range(len(grid2))])
+            for b in range(num_buckets)
+        ]
+    )
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame(
+            {
+                "c_name": pd.Series(dtype=object),
+                "c_acctbal": pd.Series(dtype=float),
+                "n_name": pd.Series(dtype=object),
+                "revenue": pd.Series(dtype=float),
+            }
+        )
+    out = (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["rev_i", "o_custkey"], ascending=[False, True])
+        .head(20)
+    )
+    cust = read_small(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    out = out.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.sort_values(["rev_i", "o_custkey"], ascending=[False, True])
+    # exact int64 / 10000.0 on both sides -> bit-identical doubles
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    return out[["c_name", "c_acctbal", "n_name", "revenue"]].reset_index(drop=True)
+
+
+Q10_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+  GROUP BY 1
+)
+SELECT c_name, c_acctbal, n_name, rev_i / 10000.0 AS revenue
+FROM rev JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev_i DESC, o_custkey LIMIT 20
+"""
+
+
 QUERIES = {
     "monthly_order_revenue": monthly_order_revenue,
     "urgent_order_month_revenue": urgent_order_month_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_nation_revenue": q5_region_nation_revenue,
+    "large_order_customers": large_order_customers,
+    "returned_item_revenue": returned_item_revenue,
     "lineitem_corr_by_flag": lineitem_corr_by_flag,
     "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
     "part_type_revenue_share": part_type_revenue_share,
@@ -1160,6 +1410,8 @@ ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_nation_revenue": Q5_SQL,
+    "large_order_customers": Q18_SQL,
+    "returned_item_revenue": Q10_SQL,
     "lineitem_corr_by_flag": CORR_SQL,
     "rollup_sales_by_flag_status": ROLLUP_SQL,
     "part_type_revenue_share": Q14_SHARE_SQL,

@@ -1,0 +1,55 @@
+"""Q18-shape (aggregate-HAVING-join top-k) and Q10-shape (returned-item
+revenue per customer) pipelines:
+
+- both match DuckDB at sf0.001 across bucket counts (so tie-aware per-bucket
+  partial top-k is exercised with qualifying rows straddling buckets)
+- an unreachable HAVING threshold yields the empty frame with the stable
+  output schema (driver smoke-check contract)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["customer", "orders", "lineitem", "nation"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+@pytest.mark.parametrize("num_buckets", [1, 4, 16])
+def test_large_order_customers_matches_duckdb(ray_session, num_buckets):
+    from mpds_ray.pipelines.relational import Q18_SQL, large_order_customers
+
+    got = large_order_customers(SF, num_buckets=num_buckets)
+    exp = _duck(Q18_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+
+
+def test_large_order_customers_empty_threshold(ray_session):
+    from mpds_ray.pipelines.relational import large_order_customers
+
+    got = large_order_customers(SF, min_qty=1e9, num_buckets=4)
+    assert len(got) == 0
+    assert list(got.columns) == ["c_name", "o_orderkey", "o_totalprice", "sum_qty"]
+
+
+@pytest.mark.parametrize("num_buckets", [1, 4, 16])
+def test_returned_item_revenue_matches_duckdb(ray_session, num_buckets):
+    from mpds_ray.pipelines.relational import Q10_SQL, returned_item_revenue
+
+    got = returned_item_revenue(SF, num_buckets=num_buckets)
+    exp = _duck(Q10_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
