@@ -848,6 +848,189 @@ def q5_region_nation_revenue(
     )
 
 
+def nation_pair_trade(sf_dir: str, max_nationkey: int = 4, num_buckets: int = 16):
+    """TPC-H Q7-shaped nation-pair trade flow: revenue shipped 1996-1997
+    between DISTINCT nations drawn from a small nation set, grouped by
+    (supplier nation, customer nation, ship year). Same three-hop chain as
+    q5 (custkey -> orderkey -> suppkey; the key changes every hop so each
+    hop's output re-exchanges while staying in plasma as per-bucket Arrow),
+    but the same-nation equality filter becomes an INEQUALITY at hop 3 and
+    the grouping keeps both nationkeys + year. lineitem is bloom-prefiltered
+    by hop-1's surviving orderkeys AND the ship-date window pushes into its
+    scan, so the 10^12-row side ships only qualifying partials. Revenue
+    rides exact integer ten-thousandths (see urgent_order_month_revenue);
+    nation names are a spec-bounded (25-row) driver lookup."""
+    import pyarrow.dataset as pds
+
+    from ..stages.exchange import exchange_map
+    from ..stages.hashjoin import (
+        bloom_probe,
+        build_key_bloom_refs,
+        exchange_join_refs,
+        rebucket_refs,
+    )
+    from ..stages.partition import stable_bucket
+    from .common import shard_list
+
+    nat = read_small(sf_dir, "nation")
+    nsel = nat[nat.n_nationkey < max_nationkey]
+    nation_keys = nsel.n_nationkey.to_numpy()
+    name_of = dict(zip(nsel.n_nationkey, nsel.n_name))
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+
+    # --- hop 1: orders x customer(nation set) on custkey --------------------
+    def o_map(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_custkey"], "o_orderkey": t["o_orderkey"]})
+
+    def c_map(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["c_custkey"], "c_nationkey": t["c_nationkey"]})
+
+    def bucket_key(t: pa.Table) -> np.ndarray:
+        return stable_bucket(t["key"].to_numpy(zero_copy_only=False), num_buckets)
+
+    o_grid = exchange_map(
+        shard_list(sf_dir, "orders"), o_map, bucket_key, num_buckets,
+        columns=["o_orderkey", "o_custkey"],
+    )
+    c_grid = exchange_map(
+        shard_list(sf_dir, "customer"), c_map, bucket_key, num_buckets,
+        columns=["c_custkey", "c_nationkey"],
+        filters=pds.field("c_nationkey").isin(nation_keys),
+    )
+
+    def join1(b: int, o: pa.Table, c: pa.Table) -> pa.Table:
+        j = o.to_pandas().merge(c.to_pandas(), on="key")
+        return pa.Table.from_pandas(
+            j[["o_orderkey", "c_nationkey"]], preserve_index=False
+        )
+
+    hop1 = exchange_join_refs(o_grid, c_grid, join1, num_buckets, emit="refs")
+
+    # --- hop 2: hop1 x lineitem(ship window) on orderkey ---------------------
+    bits = ray.put(build_key_bloom_refs(hop1, "o_orderkey"))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(bloom_probe(okey, ray.get(bits), 1 << 23, 4)))
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        yr = pd.DatetimeIndex(
+            t["l_shipdate"].combine_chunks().to_pandas()
+        ).year.to_numpy().astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                    "l_year": yr,
+                    "rev_i": cents * (100 - disc),
+                }
+            )
+            .groupby(
+                ["o_orderkey", "l_suppkey", "l_year"], as_index=False, sort=False
+            )["rev_i"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_okey(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["o_orderkey"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    li_grid = exchange_map(
+        shard_list(sf_dir, "lineitem"), li_map, bucket_okey, num_buckets,
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+        filters=(pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi),
+    )
+    hop1_grid = rebucket_refs(hop1, "o_orderkey", num_buckets)
+
+    def join2(b: int, h1: pa.Table, li: pa.Table) -> pa.Table:
+        j = li.to_pandas().merge(h1.to_pandas(), on="o_orderkey")
+        g = j.groupby(
+            ["l_suppkey", "c_nationkey", "l_year"], as_index=False, sort=False
+        )["rev_i"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hop2 = exchange_join_refs(hop1_grid, li_grid, join2, num_buckets, emit="refs")
+
+    # --- hop 3: hop2 x supplier(nation set) on suppkey, nation INEQUALITY ---
+    def s_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_suppkey": t["s_suppkey"], "s_nationkey": t["s_nationkey"]}
+        )
+
+    def bucket_skey(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["l_suppkey"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    s_grid = exchange_map(
+        shard_list(sf_dir, "supplier"), s_map, bucket_skey, num_buckets,
+        columns=["s_suppkey", "s_nationkey"],
+        filters=pds.field("s_nationkey").isin(nation_keys),
+    )
+    hop2_grid = rebucket_refs(hop2, "l_suppkey", num_buckets)
+
+    def join3(b: int, h2: pa.Table, s: pa.Table) -> pd.DataFrame:
+        j = h2.to_pandas().merge(s.to_pandas(), on="l_suppkey")
+        j = j[j.c_nationkey != j.s_nationkey]
+        return j.groupby(
+            ["s_nationkey", "c_nationkey", "l_year"], as_index=False
+        )["rev_i"].sum()
+
+    parts = exchange_join_refs(hop2_grid, s_grid, join3, num_buckets)
+    empty = pd.DataFrame(
+        {
+            "supp_nation": pd.Series(dtype=object),
+            "cust_nation": pd.Series(dtype=object),
+            "l_year": pd.Series(dtype=np.int64),
+            "revenue": pd.Series(dtype=float),
+        }
+    )
+    if not len(parts):
+        return empty
+    # driver fold bounded by |nation set|^2 x years x buckets
+    out = parts.groupby(
+        ["s_nationkey", "c_nationkey", "l_year"], as_index=False
+    )["rev_i"].sum()
+    out["supp_nation"] = out.s_nationkey.map(name_of)
+    out["cust_nation"] = out.c_nationkey.map(name_of)
+    # exact int64 / 10000.0 on both sides -> bit-identical doubles
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    return (
+        out[["supp_nation", "cust_nation", "l_year", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 4
+  AND n1.n_nationkey <> n2.n_nationkey
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def part_type_revenue_share(sf_dir: str, num_buckets: int = 16):
     """TPC-H Q14-shaped big×big join: one ship-month of lineitem ⨝ part on
     partkey, revenue share per p_type. The month filter pushes into the
@@ -1388,6 +1571,7 @@ QUERIES = {
     "q5_region_nation_revenue": q5_region_nation_revenue,
     "large_order_customers": large_order_customers,
     "returned_item_revenue": returned_item_revenue,
+    "nation_pair_trade": nation_pair_trade,
     "lineitem_corr_by_flag": lineitem_corr_by_flag,
     "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
     "part_type_revenue_share": part_type_revenue_share,
@@ -1412,6 +1596,7 @@ ORACLE = {
     "q5_region_nation_revenue": Q5_SQL,
     "large_order_customers": Q18_SQL,
     "returned_item_revenue": Q10_SQL,
+    "nation_pair_trade": Q7_SQL,
     "lineitem_corr_by_flag": CORR_SQL,
     "rollup_sales_by_flag_status": ROLLUP_SQL,
     "part_type_revenue_share": Q14_SHARE_SQL,

@@ -153,3 +153,20 @@ def test_q5_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True)
     )
+
+
+@pytest.mark.parametrize("num_buckets", [1, 4])
+def test_q7_nation_pair_matches_duckdb(ray_session, num_buckets):
+    import duckdb
+
+    from mpds_ray.pipelines.relational import Q7_SQL, nation_pair_trade
+
+    sf = "/root/testdata/sf0.001"
+    got = nation_pair_trade(sf, num_buckets=num_buckets)
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    exp = con.execute(Q7_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
