@@ -425,6 +425,76 @@ FROM w GROUP BY user_id HAVING max(ts) > min(ts) ORDER BY user_id
 """
 
 
+def user_value_ewma(sf_dir: str, alpha: float = 0.3):
+    """Final exponentially-weighted moving average of ``value`` per user
+    (s_0 = x_0, s_i = α·x_i + (1-α)·s_{i-1} over (ts, event_id) order).
+    The recursion unrolls to a weighted sum — w_i = (α if i>0 else 1) ·
+    (1-α)^(n-1-i) — so the scan is position-from-segment-start arithmetic
+    plus one segment reduceat: no sequential state, no window shuffle.
+    Rounded to 6 dp on both sides (the unrolled sum's ADDITION ORDER is the
+    only Ray/SQL difference; ~1e-15 relative)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "ewma": []})
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        seglen = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, seglen)
+        w = np.power(1.0 - alpha, np.repeat(seglen, seglen) - 1 - pos)
+        w[pos > 0] *= alpha
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "ewma": np.round(np.add.reduceat(v * w, starts), 6),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["value"], fn)
+
+
+EWMA_SQL = """
+WITH o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.3 END)
+                 * power(0.7, n - rn)), 6) AS ewma
+FROM o GROUP BY user_id ORDER BY user_id
+"""
+
+
+def event_type_user_reach(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event_type. The
+    user-hash exchange makes each user's rows bucket-complete, so per-bucket
+    distinct (event_type, user_id) pairs are globally disjoint and the
+    driver fold is a plain sum — bounded by |event_type| × num_buckets rows,
+    never the user domain."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    parts = _per_bucket_events(sf_dir, ["event_type"], fn)
+    out = parts.groupby("event_type", as_index=False)["n_users"].sum()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+REACH_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def view_purchase_transitions(sf_dir: str):
     """Adjacent-pair sequence-pattern count (MATCH_RECOGNIZE-lite): per
     user, how many immediate view→purchase transitions occur in the
@@ -1426,6 +1496,8 @@ QUERIES = {
     "user_mode_event_type": user_mode_event_type,
     "user_value_percent_rank": user_value_percent_rank,
     "user_time_weighted_value": user_time_weighted_value,
+    "user_value_ewma": user_value_ewma,
+    "event_type_user_reach": event_type_user_reach,
     "view_purchase_transitions": view_purchase_transitions,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
@@ -1460,6 +1532,8 @@ ORACLE = {
     "user_mode_event_type": MODE_SQL,
     "user_value_percent_rank": PCT_RANK_SQL,
     "user_time_weighted_value": TWA_SQL,
+    "user_value_ewma": EWMA_SQL,
+    "event_type_user_reach": REACH_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,

@@ -6,6 +6,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 
 def _write_events(d, rows):
@@ -137,3 +138,43 @@ def test_view_purchase_transitions_hand_values(ray_session, tmp_path):
     )
     out = view_purchase_transitions(str(d)).sort_values("user_id")
     assert dict(zip(out.user_id, out.n_transitions)) == {1: 2, 2: 0, 3: 0, 4: 0}
+
+
+def test_user_value_ewma_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import user_value_ewma
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1: x = [10, 20, 30]; s = 10 -> 13 -> 18.1 (alpha 0.3)
+    # user 2: single event -> ewma == value exactly
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 10), (2, 1, "view", 1, 20), (3, 1, "view", 2, 30),
+            (4, 2, "view", 0, 7.5),
+        ],
+    )
+    out = user_value_ewma(str(d)).sort_values("user_id")
+    got = dict(zip(out.user_id, out.ewma))
+    s = 10.0
+    for x in (20.0, 30.0):
+        s = 0.3 * x + 0.7 * s
+    assert got[1] == pytest.approx(round(s, 6), abs=1e-9)
+    assert got[2] == 7.5
+
+
+def test_event_type_user_reach_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import event_type_user_reach
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # view reached by users {1, 2}; purchase by {1}; repeat rows don't double
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1), (2, 1, "view", 1, 1),
+            (3, 1, "purchase", 2, 1), (4, 2, "view", 0, 1),
+        ],
+    )
+    out = event_type_user_reach(str(d))
+    assert dict(zip(out.event_type, out.n_users)) == {"purchase": 1, "view": 2}
