@@ -164,6 +164,65 @@ SELECT doc_id,
 FROM documents
 """
 
+def doc_repetition_ratio(sf_dir: str):
+    """Duplicate token-trigram fraction per document — the Gopher-style
+    repetition quality signal (1 − distinct/total trigrams; docs with < 3
+    tokens score 0). Fully segment-vectorized across ALL docs in a batch:
+    trigram ids are the EXACT injective base-VOCAB combination
+    (t1·V + t2)·V + t3 (int64, no hash-collision caveat — identical to the
+    SQL identity), distinct counts come from one per-segment sorted-unique
+    pass. The int/int division is bit-identical on both sides."""
+    from ..tokenize import VOCAB
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tok = tokenize_batch(batch)
+        flat, offs = _flat_tokens(tok)
+        lens = np.diff(offs)
+        out_lens = np.maximum(lens - 2, 0)
+        new_offs = np.r_[0, np.cumsum(out_lens)]
+        total = int(new_offs[-1])
+        base = np.repeat(offs[:-1], out_lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            new_offs[:-1], out_lens
+        )
+        starts = base + within
+        t = flat.astype(np.int64)
+        tri = (t[starts] * VOCAB + t[starts + 1]) * VOCAB + t[starts + 2]
+        _, _, uniq = _unique_per_segment(tri, new_offs)
+        safe = np.where(out_lens > 0, out_lens, 1)
+        ratio = np.where(out_lens > 0, 1.0 - uniq / safe, 0.0)
+        return pa.table(
+            {
+                "doc_id": tok["doc_id"],
+                "rep_ratio": pa.array(np.round(ratio, 6)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), tg AS (
+  SELECT doc_id, len(tokens) AS n,
+         CASE WHEN len(tokens) >= 3 THEN
+           list_transform(range(len(tokens) - 2),
+             i -> (CAST(tokens[i + 1] AS BIGINT) * 50257
+                   + tokens[i + 2]) * 50257 + tokens[i + 3])
+         ELSE [] END AS tri
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN n >= 3
+            THEN round(1.0 - len(list_distinct(tri)) * 1.0 / len(tri), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM tg
+"""
+
+
 # --- windowed token stats over the derived tokens table (W1 surface) ---
 
 
@@ -429,6 +488,9 @@ def _unique_per_segment(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sort each segment and drop duplicates: returns (sorted unique flat
     values, their segment ids, unique-count per segment)."""
+    if values.size == 0:
+        empty = values[:0]
+        return empty, empty.astype(np.int64), np.zeros(offs.size - 1, dtype=np.int64)
     seg = np.repeat(np.arange(offs.size - 1, dtype=np.int64), np.diff(offs))
     order = np.lexsort((values, seg))
     v, s = values[order], seg[order]
@@ -955,6 +1017,7 @@ QUERIES = {
     "token_counts": token_counts,
     "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
+    "doc_repetition_ratio": doc_repetition_ratio,
     "doc_token_stats": doc_token_stats,
     "lang_id": lang_id,
     "simhash_docs": simhash_docs,
@@ -972,6 +1035,7 @@ ORACLE = {
     "token_counts": TOKEN_COUNT_SQL,
     "token_counts_bpe": TOKEN_COUNT_BPE_SQL,
     "quality_scores": QUALITY_SQL,
+    "doc_repetition_ratio": REPETITION_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "ngram_jaccard_vs_doc0": NGRAM_JACCARD_SQL,

@@ -280,3 +280,25 @@ class TestSegmentVectorizedParity:
         for i, d in enumerate(docs):
             want = minhash_signature(_shingles(d), seeds)
             assert np.array_equal(sig[:, i], want), i
+
+
+def test_doc_repetition_ratio_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.text import doc_repetition_ratio
+
+    texts = [
+        "a b a b a b",          # trigrams aba,bab,aba,bab -> 4 total, 2 distinct -> 0.5
+        "one two three four",   # 2 distinct trigrams of 2 -> 0.0
+        "x y",                  # < 3 tokens -> 0.0 by definition
+        "w w w w w",            # all trigrams identical -> 1 distinct of 3 -> 2/3
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": texts, "source": "s",
+         "lang": "en", "n_chars": [len(t) for t in texts]}
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    out = doc_repetition_ratio(str(tmp_path)).to_pandas().sort_values("doc_id")
+    got = dict(zip(out.doc_id, out.rep_ratio))
+    assert got[0] == pytest.approx(0.5)
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+    assert got[3] == pytest.approx(round(2 / 3, 6))
