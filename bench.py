@@ -48,6 +48,11 @@ BENCH_QUERIES = (
     "dup_clusters",
     "pack_sequences",
     "q5_region_nation_revenue",
+    "large_order_customers",
+    "returned_item_revenue",
+    "nation_pair_trade",
+    "doc_repetition_ratio",
+    "user_value_ewma",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot
