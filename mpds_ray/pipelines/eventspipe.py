@@ -495,6 +495,91 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def event_type_cooccurrence(sf_dir: str):
+    """Unordered event-type pair co-occurrence: for every pair (a < b) of
+    event types, how many users emitted BOTH. Per bucket the distinct
+    (user, type) pairs become a users × types 0/1 indicator matrix whose
+    Bᵀ·B upper triangle is the bucket's pair-count matrix (one matmul, no
+    pair enumeration); users are bucket-complete so the matrices are
+    globally disjoint and the driver sums |types|² ints per bucket."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        if not len(d):
+            return pd.DataFrame(
+                {"type_a": [], "type_b": [], "n_users": []}
+            )
+        types = np.unique(d["event_type"].to_numpy())
+        u, uinv = np.unique(d["user_id"].to_numpy(), return_inverse=True)
+        tinv = np.searchsorted(types, d["event_type"].to_numpy())
+        ind = np.zeros((u.size, types.size), dtype=np.int64)
+        ind[uinv, tinv] = 1
+        cc = ind.T @ ind
+        ii, jj = np.triu_indices(types.size, k=1)
+        return pd.DataFrame(
+            {"type_a": types[ii], "type_b": types[jj], "n_users": cc[ii, jj]}
+        )
+
+    parts = _per_bucket_events(sf_dir, ["event_type"], fn)
+    out = parts.groupby(["type_a", "type_b"], as_index=False)["n_users"].sum()
+    out = out[out.n_users > 0]
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+COOCCURRENCE_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def user_value_dense_rank(sf_dir: str):
+    """dense_rank() of ``value`` per user (ascending): one stable re-sort of
+    the bucket by (user, value), a value-change cumsum rebased per segment,
+    and a scatter back to event order — no window shuffle, rank is exact
+    integer so Ray and SQL are bit-identical."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        e = g["event_id"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "value": [], "dense_rank": []}
+            )
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        inc = np.zeros(n, dtype=np.int64)
+        inc[1:] = ((vs[1:] != vs[:-1]) & (us[1:] == us[:-1])).astype(np.int64)
+        cs = np.cumsum(inc)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(first)
+        seglen = np.diff(np.append(starts, n))
+        rank_sorted = 1 + cs - np.repeat(cs[starts], seglen)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = rank_sorted
+        out = pd.DataFrame(
+            {"user_id": u, "event_id": e, "value": v, "dense_rank": rank}
+        )
+        return out.sort_values(["user_id", "event_id"])
+
+    return _per_bucket_events(sf_dir, ["value"], fn).sort_values(
+        ["user_id", "event_id"]
+    ).reset_index(drop=True)
+
+
+DENSE_RANK_SQL = """
+SELECT user_id, event_id, value,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT)
+         AS dense_rank
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def view_purchase_transitions(sf_dir: str):
     """Adjacent-pair sequence-pattern count (MATCH_RECOGNIZE-lite): per
     user, how many immediate view→purchase transitions occur in the
@@ -1498,6 +1583,8 @@ QUERIES = {
     "user_time_weighted_value": user_time_weighted_value,
     "user_value_ewma": user_value_ewma,
     "event_type_user_reach": event_type_user_reach,
+    "event_type_cooccurrence": event_type_cooccurrence,
+    "user_value_dense_rank": user_value_dense_rank,
     "view_purchase_transitions": view_purchase_transitions,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
@@ -1534,6 +1621,8 @@ ORACLE = {
     "user_time_weighted_value": TWA_SQL,
     "user_value_ewma": EWMA_SQL,
     "event_type_user_reach": REACH_SQL,
+    "event_type_cooccurrence": COOCCURRENCE_SQL,
+    "user_value_dense_rank": DENSE_RANK_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,

@@ -1179,6 +1179,76 @@ WHERE p_brand = 'Brand#4'
 """
 
 
+def priority_ship_lag_counts(sf_dir: str, late_days: int = 60, num_buckets: int = 16):
+    """TPC-H Q12-shaped conditional aggregation over a join: per order
+    priority, how many lineitems shipped more than ``late_days`` after the
+    order date, the total, and the late share. The lateness predicate needs
+    BOTH sides' dates per line, so this is the join shape where line grain
+    legitimately crosses the exchange — but only two int64 columns of it
+    (key + epoch-µs shipdate), pruned at the scan; the CASE aggregation
+    collapses each bucket to |priority| rows, so the driver fold is
+    |priority| × num_buckets. The day comparison is exact integer epoch-µs
+    arithmetic on both sides (no calendar semantics to diverge on), and the
+    share is the same int/int double division in Ray and SQL."""
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    late_us = late_days * 86_400 * 1_000_000
+
+    def li_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "ship_us": t["l_shipdate"].cast(pa.int64()),
+            }
+        )
+
+    def o_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "order_us": t["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    def reduce_fn(b: int, li: pa.Table, orders: pa.Table) -> pd.DataFrame:
+        j = li.to_pandas().merge(orders.to_pandas(), on="o_orderkey")
+        j["late"] = (j.ship_us - j.order_us > late_us).astype(np.int64)
+        g = j.groupby("o_orderpriority", as_index=False).agg(
+            n_late=("late", "sum"), n_total=("late", "size")
+        )
+        return g
+
+    out = exchange_join(
+        shard_list(sf_dir, "lineitem"),
+        shard_list(sf_dir, "orders"),
+        "o_orderkey",
+        reduce_fn,
+        num_buckets,
+        left_map=li_map,
+        right_map=o_map,
+        columns_left=["l_orderkey", "l_shipdate"],
+        columns_right=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    # driver fold bounded by |priority| x buckets
+    out = out.groupby("o_orderpriority", as_index=False)[["n_late", "n_total"]].sum()
+    out["late_share"] = np.round(out.n_late / out.n_total, 6)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN epoch(l_shipdate) - epoch(o_orderdate) > 5184000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       count(*) AS n_total,
+       round(sum(CASE WHEN epoch(l_shipdate) - epoch(o_orderdate) > 5184000
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS late_share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def lineitem_corr_by_flag(sf_dir: str):
     """Distributed Pearson correlation from EXACT integer moment partials.
 
@@ -1572,6 +1642,7 @@ QUERIES = {
     "large_order_customers": large_order_customers,
     "returned_item_revenue": returned_item_revenue,
     "nation_pair_trade": nation_pair_trade,
+    "priority_ship_lag_counts": priority_ship_lag_counts,
     "lineitem_corr_by_flag": lineitem_corr_by_flag,
     "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
     "part_type_revenue_share": part_type_revenue_share,
@@ -1597,6 +1668,7 @@ ORACLE = {
     "large_order_customers": Q18_SQL,
     "returned_item_revenue": Q10_SQL,
     "nation_pair_trade": Q7_SQL,
+    "priority_ship_lag_counts": Q12_SQL,
     "lineitem_corr_by_flag": CORR_SQL,
     "rollup_sales_by_flag_status": ROLLUP_SQL,
     "part_type_revenue_share": Q14_SHARE_SQL,

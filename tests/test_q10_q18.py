@@ -53,3 +53,14 @@ def test_returned_item_revenue_matches_duckdb(ray_session, num_buckets):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True)
     )
+
+
+@pytest.mark.parametrize("num_buckets", [1, 8])
+def test_priority_ship_lag_matches_duckdb(ray_session, num_buckets):
+    from mpds_ray.pipelines.relational import Q12_SQL, priority_ship_lag_counts
+
+    got = priority_ship_lag_counts(SF, num_buckets=num_buckets)
+    exp = _duck(Q12_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )

@@ -178,3 +178,47 @@ def test_event_type_user_reach_hand_values(ray_session, tmp_path):
     )
     out = event_type_user_reach(str(d))
     assert dict(zip(out.event_type, out.n_users)) == {"purchase": 1, "view": 2}
+
+
+def test_event_type_cooccurrence_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import event_type_cooccurrence
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1 has {view, purchase}; user 2 has {view}; user 3 has
+    # {view, purchase, click}; repeats must not double-count
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1), (2, 1, "purchase", 1, 1), (3, 1, "view", 2, 1),
+            (4, 2, "view", 0, 1),
+            (5, 3, "view", 0, 1), (6, 3, "purchase", 1, 1), (7, 3, "click", 2, 1),
+        ],
+    )
+    out = event_type_cooccurrence(str(d))
+    got = {(a, b): n for a, b, n in out.itertuples(index=False)}
+    assert got == {
+        ("click", "purchase"): 1,
+        ("click", "view"): 1,
+        ("purchase", "view"): 2,
+    }
+
+
+def test_user_value_dense_rank_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import user_value_dense_rank
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1: values 5, 1, 5, 3 -> dense ranks 3, 1, 3, 2 (tie shares rank)
+    # user 2: single event -> rank 1; ranks restart per user
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 5), (2, 1, "view", 1, 1),
+            (3, 1, "view", 2, 5), (4, 1, "view", 3, 3),
+            (5, 2, "view", 0, 9),
+        ],
+    )
+    out = user_value_dense_rank(str(d))
+    got = dict(zip(out.event_id, out.dense_rank))
+    assert got == {1: 3, 2: 1, 3: 3, 4: 2, 5: 1}
