@@ -223,6 +223,78 @@ FROM tg
 """
 
 
+def unigram_logprob(sf_dir: str):
+    """CCNet/Wenzek-style unigram-LM quality score: mean token log-prob per
+    document under the corpus's OWN Laplace-smoothed unigram model (the
+    perplexity-filter shape with the LM fit in-pipeline). Pass 1 is a
+    VOCAB-bounded distributed bincount — one (50257,) int64 partial per
+    shard (~400 KB, independent of row count) summed on the driver; the
+    log-prob table broadcasts ONCE via ray.put and the scoring pass is
+    map-only (one fancy-index gather + one segment mean per batch). 6-dp
+    round pins the Ray/SQL mean-order and libm-ln ulps."""
+    import ray
+
+    from ..tokenize import VOCAB
+    from .common import shard_list
+
+    @ray.remote
+    def shard_counts(path: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "text", "source"])
+        flat, _ = _flat_tokens(tokenize_batch(t))
+        return np.bincount(flat.astype(np.int64), minlength=VOCAB)
+
+    counts = np.zeros(VOCAB, dtype=np.int64)
+    for part in ray.get(
+        [shard_counts.remote(p) for p in shard_list(sf_dir, "documents")]
+    ):
+        counts += part
+    total = int(counts.sum())
+    logp = np.log((counts + 1.0) / (total + VOCAB))
+    logp_ref = ray.put(logp)
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lp = ray.get(logp_ref)  # zero-copy plasma view
+        flat, offs = _flat_tokens(tokenize_batch(batch))
+        n = np.diff(offs)
+        safe = np.where(n > 0, n, 1)
+        mean_lp = (
+            _segment_reduceat(np.add, lp[flat.astype(np.int64)], offs, 0.0) / safe
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "mean_logprob": pa.array(
+                    np.round(np.where(n > 0, mean_lp, 0.0), 6)
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+UNIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), flat AS (
+  SELECT doc_id, unnest(tokens) AS t FROM tok
+), cnt AS (
+  SELECT t, count(*) AS c FROM flat GROUP BY t
+), tot AS (
+  SELECT count(*) AS n FROM flat
+), scored AS (
+  SELECT f.doc_id, ln((c + 1.0) / (n + 50257)) AS lp
+  FROM flat f JOIN cnt USING (t) CROSS JOIN tot
+)
+SELECT k.doc_id, round(coalesce(avg(lp), 0.0), 6) AS mean_logprob
+FROM tok k LEFT JOIN scored s ON k.doc_id = s.doc_id
+GROUP BY k.doc_id
+"""
+
+
 # --- windowed token stats over the derived tokens table (W1 surface) ---
 
 
@@ -1018,6 +1090,7 @@ QUERIES = {
     "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
     "doc_repetition_ratio": doc_repetition_ratio,
+    "unigram_logprob": unigram_logprob,
     "doc_token_stats": doc_token_stats,
     "lang_id": lang_id,
     "simhash_docs": simhash_docs,
@@ -1036,6 +1109,7 @@ ORACLE = {
     "token_counts_bpe": TOKEN_COUNT_BPE_SQL,
     "quality_scores": QUALITY_SQL,
     "doc_repetition_ratio": REPETITION_SQL,
+    "unigram_logprob": UNIGRAM_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "ngram_jaccard_vs_doc0": NGRAM_JACCARD_SQL,

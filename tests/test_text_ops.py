@@ -302,3 +302,29 @@ def test_doc_repetition_ratio_hand_values(ray_session, tmp_path):
     assert got[1] == 0.0
     assert got[2] == 0.0
     assert got[3] == pytest.approx(round(2 / 3, 6))
+
+
+def test_unigram_logprob_reference(ray_session, tmp_path):
+    """Distributed two-pass unigram LM == in-process NumPy reference on the
+    same tokenizer output; the repetitive (common-token) doc must score
+    higher than the diverse one."""
+    from mpds_ray.pipelines.text import _flat_tokens, unigram_logprob
+    from mpds_ray.tokenize import VOCAB, tokenize_batch
+
+    texts = ["common common common common", "rare words all different here"]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(2, dtype=np.int64), "text": texts, "source": "s",
+         "lang": "en", "n_chars": [len(t) for t in texts]}
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    out = unigram_logprob(str(tmp_path)).to_pandas().sort_values("doc_id")
+
+    flat, offs = _flat_tokens(tokenize_batch(pa.table(
+        {"doc_id": df.doc_id.to_numpy(), "text": texts, "source": ["s", "s"]}
+    )))
+    counts = np.bincount(flat.astype(np.int64), minlength=VOCAB)
+    lp = np.log((counts + 1.0) / (counts.sum() + VOCAB))
+    exp = [round(lp[flat[offs[i]:offs[i + 1]].astype(np.int64)].mean(), 6)
+           for i in range(2)]
+    assert list(out.mean_logprob) == pytest.approx(exp, abs=1e-9)
+    assert out.mean_logprob.iloc[0] > out.mean_logprob.iloc[1]
