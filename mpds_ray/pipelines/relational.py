@@ -1371,6 +1371,66 @@ ORDER BY 1, 2
 """
 
 
+def cube_sales_by_flag_status(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — the full grouping-sets
+    lattice from the SAME single pass of finest-level partials the ROLLUP
+    query uses: the driver re-aggregates the ≤6-row fold along each axis
+    (exact int64 revenue is order-free, so every subtotal is bit-identical
+    to a direct group). Completes the grouping-sets family next to
+    ``rollup_sales_by_flag_status``."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "rev_i": cents * (100 - disc),
+            }
+        )
+
+    from .common import shard_groupby_sum
+
+    g = shard_groupby_sum(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus"],
+        {"rev_i": "rev_i"},
+        count_as="n_rows",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+        prep=prep,
+    )
+    by_flag = g.groupby("l_returnflag", as_index=False)[["rev_i", "n_rows"]].sum()
+    by_flag["l_linestatus"] = "ALL"
+    by_status = g.groupby("l_linestatus", as_index=False)[["rev_i", "n_rows"]].sum()
+    by_status["l_returnflag"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+            "rev_i": [g["rev_i"].sum()], "n_rows": [g["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([g, by_flag, by_status, grand], ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    return (
+        out[["l_returnflag", "l_linestatus", "n_rows", "revenue"]]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
 Q5_SQL = """
 SELECT n_name,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -1645,6 +1705,7 @@ QUERIES = {
     "priority_ship_lag_counts": priority_ship_lag_counts,
     "lineitem_corr_by_flag": lineitem_corr_by_flag,
     "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
+    "cube_sales_by_flag_status": cube_sales_by_flag_status,
     "part_type_revenue_share": part_type_revenue_share,
     "small_quantity_revenue": small_quantity_revenue,
     "customers_per_region": customers_per_region,
@@ -1671,6 +1732,7 @@ ORACLE = {
     "priority_ship_lag_counts": Q12_SQL,
     "lineitem_corr_by_flag": CORR_SQL,
     "rollup_sales_by_flag_status": ROLLUP_SQL,
+    "cube_sales_by_flag_status": CUBE_SQL,
     "part_type_revenue_share": Q14_SHARE_SQL,
     "small_quantity_revenue": Q17_SQL,
     "customers_per_region": REGION_SQL,

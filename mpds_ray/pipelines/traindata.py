@@ -21,6 +21,7 @@ from .common import read, table_num_rows
 from .text import (
     _flat_tokens,
     _shingles_flat,
+    _splitmix64,
     _unique_per_segment,
     _pairwise_jaccard,
 )
@@ -499,6 +500,101 @@ FROM n
 """
 
 
+def dedup_passages(sf_dir: str, chunk_words: int = CHUNK_WORDS, num_buckets: int = 8):
+    """Passage-grain exact dedup across the WHOLE corpus (the sub-document
+    dedup pass a pretraining pipeline runs after doc-level dedup): every doc
+    splits into the ``doc_chunks`` fixed-size token windows, and a chunk is
+    a duplicate iff an earlier (doc_id, chunk_idx) carries the identical
+    token sequence. Chunk identity travels as a 64-bit position-salted sum
+    hash, so the exchange ships (doc_id, chunk_idx, hash) int64 triples —
+    never text; each hash group is bucket-complete, dup = everything except
+    the group's min (doc_id, chunk_idx); per-doc partials fold on the driver
+    (doc-grain, the standard bound for documents queries)."""
+    from ..stages.exchange import hash_exchange
+    from .common import shard_list
+    from .text import _segment_reduceat
+
+    W = chunk_words
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        flat, offs = _flat_tokens(tokenize_batch(t))
+        n = np.diff(offs)
+        n_chunks = -(-n // W)  # ceil; 0-token docs emit no chunks
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chash": pa.array([], pa.int64()),
+                }
+            )
+        cfirst = np.r_[0, np.cumsum(n_chunks)[:-1]]
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(cfirst, n_chunks)
+        chunk_start = np.repeat(offs[:-1], n_chunks) + chunk_idx * W
+        chunk_len = np.minimum(W, np.repeat(n, n_chunks) - chunk_idx * W)
+        # chunks tile each doc contiguously, so their cumulative lengths ARE
+        # the flat-array segment offsets
+        chunk_offs = np.r_[0, np.cumsum(chunk_len)]
+        pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            chunk_start, chunk_len
+        )
+        h = _splitmix64(flat ^ _splitmix64((pos + 1).astype(np.uint64)))
+        chash = _segment_reduceat(np.add, h, chunk_offs, np.uint64(0))
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n_chunks)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_idx": pa.array(chunk_idx),
+                "chash": pa.array(chash.view(np.int64)),
+            }
+        )
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        df = tbl.to_pandas().sort_values(
+            ["chash", "doc_id", "chunk_idx"], kind="mergesort"
+        )
+        ch = df["chash"].to_numpy()
+        first = np.r_[True, ch[1:] != ch[:-1]]
+        df["dup"] = (~first).astype(np.int64)
+        return df.groupby("doc_id", as_index=False).agg(
+            n_chunks=("dup", "size"), n_dup_chunks=("dup", "sum")
+        )
+
+    parts = hash_exchange(
+        shard_list(sf_dir, "documents"), map_fn, "chash", num_buckets,
+        reduce_fn, columns=["doc_id", "text", "source"],
+    )
+    out = parts.groupby("doc_id", as_index=False)[["n_chunks", "n_dup_chunks"]].sum()
+    out["n_chunks"] = out["n_chunks"].astype(np.int64)
+    out["n_dup_chunks"] = out["n_dup_chunks"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_PASSAGES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), ex AS (
+  SELECT doc_id, len(tokens) AS n, tokens,
+         unnest(range(CAST(ceil(len(tokens) / {CHUNK_WORDS}.0) AS BIGINT)))
+           AS chunk_idx
+  FROM tok
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(tokens[chunk_idx * {CHUNK_WORDS} + 1 :
+                         least((chunk_idx + 1) * {CHUNK_WORDS}, n)], ',') AS ck
+  FROM ex
+), rk AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY ck ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM rk GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "decontaminate": decontaminate,
@@ -506,6 +602,7 @@ QUERIES = {
     "mid_quality_docs": mid_quality_docs,
     "pack_sequences": pack_sequences,
     "dup_clusters": dup_clusters,
+    "dedup_passages": dedup_passages,
 }
 
 ORACLE = {
@@ -515,4 +612,5 @@ ORACLE = {
     "mid_quality_docs": MID_QUALITY_SQL,
     "pack_sequences": PACK_SQL,
     "dup_clusters": DUP_CLUSTERS_SQL,
+    "dedup_passages": DEDUP_PASSAGES_SQL,
 }

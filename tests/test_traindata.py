@@ -130,3 +130,37 @@ class TestMidQuality:
         lo, hi = np.percentile(n_chars, [25, 75])
         want = np.flatnonzero((n_chars >= lo) & (n_chars <= hi))
         assert np.array_equal(np.sort(out["doc_id"].to_numpy()), want)
+
+
+class TestDedupPassages:
+    def test_planted_chunk_dup_counts(self, ray_session, tmp_path):
+        """Doc 1 repeats doc 0's full 64-word chunk (dup attributes to the
+        LATER (doc, chunk)); doc 2 shares no chunk. Short docs (< chunk)
+        still form one chunk each and exact-match across docs."""
+        from mpds_ray.pipelines.traindata import dedup_passages
+
+        rng = np.random.default_rng(7)
+        base = " ".join(rng.choice(WORDS, 64))       # exactly one chunk
+        other = " ".join(rng.choice(WORDS, 64))
+        sf = _write_docs(
+            tmp_path,
+            [
+                base,                      # doc 0: chunk A
+                base + " " + other,        # doc 1: chunk A (dup) + chunk B
+                "unique tail words here",  # doc 2: one short chunk
+                "unique tail words here",  # doc 3: dup of doc 2's chunk
+            ],
+        )
+        out = dedup_passages(sf, num_buckets=4).set_index("doc_id")
+        assert out.loc[0, "n_chunks"] == 1 and out.loc[0, "n_dup_chunks"] == 0
+        assert out.loc[1, "n_chunks"] == 2 and out.loc[1, "n_dup_chunks"] == 1
+        assert out.loc[2, "n_dup_chunks"] == 0
+        assert out.loc[3, "n_chunks"] == 1 and out.loc[3, "n_dup_chunks"] == 1
+
+    def test_bucket_count_invariance(self, ray_session):
+        from mpds_ray.pipelines.traindata import dedup_passages
+
+        sf = "/root/testdata/sf0.001"
+        a = dedup_passages(sf, num_buckets=1)
+        b = dedup_passages(sf, num_buckets=16)
+        pd.testing.assert_frame_equal(a, b)
