@@ -118,3 +118,28 @@ class TestLabelProp:
         mh = dup_clusters(str(tmp_path), threshold=0.5, pairs="minhash")
         pd.testing.assert_frame_equal(blocked, mh)
         assert set(blocked["doc_id"]) >= {0, 1}
+
+
+def test_block_matmul_matches_pair_kernel():
+    """_block_jaccard_pairs (incidence matmul) must keep EXACTLY the pairs
+    the per-pair kernel keeps, across thresholds, including identical and
+    disjoint sets — and via the fallback path when the dense cap is tiny."""
+    import numpy as np
+
+    from mpds_ray.pipelines.text import _pairwise_jaccard
+    from mpds_ray.pipelines.traindata import _block_jaccard_pairs
+
+    rng = np.random.default_rng(3)
+    sets = [np.unique(rng.integers(0, 120, rng.integers(1, 70)).astype(np.uint64))
+            for _ in range(40)]
+    sets.append(sets[0].copy())  # identical pair
+    flat = np.concatenate(sets)
+    offs = np.r_[0, np.cumsum([len(s) for s in sets])].astype(np.int64)
+    idx = np.arange(len(sets), dtype=np.int64)
+    ii, jj = np.triu_indices(idx.size, k=1)
+    jac = _pairwise_jaccard(flat, offs, idx[ii], idx[jj])
+    for t in (0.2, 0.5, 0.9, 1.0):
+        exp = set(zip(ii[jac >= t], jj[jac >= t]))
+        for cap in (50_000_000, 1):  # dense path and forced fallback
+            gi, gj = _block_jaccard_pairs(flat, offs, idx, t, dense_cap=cap)
+            assert set(zip(gi, gj)) == exp, (t, cap)
