@@ -1249,6 +1249,219 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def late_order_priority_counts(sf_dir: str, late_days: int = 60, num_buckets: int = 16):
+    """TPC-H Q4-shaped EXISTS semi-join aggregate: per order priority, how
+    many ORDERS have at least one lineitem shipped more than ``late_days``
+    after the order date (vs Q12, which counts LINES). The existence test
+    collapses map-side: lineitem pre-reduces to one (orderkey, max ship_us)
+    row per key — EXISTS(any late line) ≡ max(shipdate) late — so the
+    exchange moves one row per orderkey, the per-bucket reduce is a merge +
+    one comparison, and each bucket emits |priority| counts. Exact integer
+    epoch-µs arithmetic on both sides."""
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    late_us = late_days * 86_400 * 1_000_000
+
+    def li_map(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "max_ship_us": t["l_shipdate"]
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("o_orderkey", as_index=False, sort=False)["max_ship_us"]
+            .max()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def o_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "order_us": t["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    def reduce_fn(b: int, li: pa.Table, orders: pa.Table) -> pd.DataFrame:
+        g = li.to_pandas().groupby("o_orderkey", as_index=False)["max_ship_us"].max()
+        j = g.merge(orders.to_pandas(), on="o_orderkey")
+        j = j[j.max_ship_us - j.order_us > late_us]
+        return j.groupby("o_orderpriority", as_index=False).size().rename(
+            columns={"size": "n_orders"}
+        )
+
+    out = exchange_join(
+        shard_list(sf_dir, "lineitem"),
+        shard_list(sf_dir, "orders"),
+        "o_orderkey",
+        reduce_fn,
+        num_buckets,
+        left_map=li_map,
+        right_map=o_map,
+        columns_left=["l_orderkey", "l_shipdate"],
+        columns_right=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    # driver fold bounded by |priority| x buckets
+    out = out.groupby("o_orderpriority", as_index=False)["n_orders"].sum()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND epoch(l_shipdate) - epoch(o_orderdate) > 5184000
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def rich_customers_without_orders(sf_dir: str, num_buckets: int = 16):
+    """TPC-H Q22-shaped composite: LAPSED rich customers — balance above the
+    GLOBAL average positive balance and no orders since 1999 — counted per
+    market segment with their average balance. Three reusable pieces
+    chained: a scalar-subquery pass (distributed (sum, count) fold), the
+    hash anti-join (per-bucket key difference over the exchange, with the
+    date predicate pushed into the orders scan so the NOT-EXISTS side ships
+    only recent orderkeys), and a grouped aggregate. Balance rides exact
+    integer cents so the Ray/SQL sums agree bit-for-bit."""
+    import pyarrow.dataset as pds
+
+    from ..stages.exchange import exchange_map
+    from ..stages.partition import stable_bucket
+    from .common import shard_list
+
+    # pass 1: global mean positive balance — distributed (sum, count) fold
+    @ray.remote
+    def bal_partial(path: str) -> tuple[int, int]:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["c_acctbal"])
+        cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        pos = cents[cents > 0]
+        return int(pos.sum()), int(pos.size)
+
+    parts = ray.get([bal_partial.remote(p) for p in shard_list(sf_dir, "customer")])
+    tot = sum(p[0] for p in parts)
+    cnt = max(sum(p[1] for p in parts), 1)
+    avg_cents = tot / cnt  # double; both sides compare cents > this
+
+    def c_map(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = cents > avg_cents
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+                "c_mktsegment": t["c_mktsegment"].filter(pa.array(keep)),
+                "bal_cents": pa.array(cents[keep]),
+            }
+        )
+
+    def o_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": pa.array(np.unique(
+                t["o_custkey"].to_numpy(zero_copy_only=False)
+            ))}
+        )
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["c_custkey"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    c_grid = exchange_map(
+        shard_list(sf_dir, "customer"), c_map, bucket_fn, num_buckets,
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        filters=pds.field("c_acctbal") > 0,
+    )
+    o_grid = exchange_map(
+        shard_list(sf_dir, "orders"), o_map, bucket_fn, num_buckets,
+        columns=["o_custkey"],
+        filters=pds.field("o_orderdate") >= pd.Timestamp("1999-01-01"),
+    )
+
+    # NOT exchange_join_refs: that helper skips a bucket when either side is
+    # empty, but anti-join semantics must KEEP a bucket's customers when the
+    # orders side is empty there — so the per-bucket task handles the empty
+    # right side explicitly
+    n_c = len(c_grid)
+
+    @ray.remote
+    def anti_agg(*parts) -> pd.DataFrame:
+        cp = [p for p in parts[:n_c] if p is not None and p.num_rows]
+        op = [p for p in parts[n_c:] if p is not None and p.num_rows]
+        if not cp:
+            return pd.DataFrame()
+        cdf = pa.concat_tables(cp).to_pandas()
+        if op:
+            have = np.unique(
+                pa.concat_tables(op)["c_custkey"].to_numpy(zero_copy_only=False)
+            )
+            cdf = cdf[~np.isin(cdf["c_custkey"].to_numpy(), have)]
+        return cdf.groupby("c_mktsegment", as_index=False).agg(
+            n_custs=("c_custkey", "size"), bal_cents=("bal_cents", "sum")
+        )
+
+    frames = ray.get(
+        [
+            anti_agg.remote(
+                *[c_grid[i][b] for i in range(n_c)],
+                *[o_grid[i][b] for i in range(len(o_grid))],
+            )
+            for b in range(num_buckets)
+        ]
+    )
+    frames = [f for f in frames if len(f)]
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    empty = pd.DataFrame(
+        {
+            "c_mktsegment": pd.Series(dtype=object),
+            "n_custs": pd.Series(dtype=np.int64),
+            "avg_bal": pd.Series(dtype=float),
+        }
+    )
+    if not len(out):
+        return empty
+    g = out.groupby("c_mktsegment", as_index=False)[["n_custs", "bal_cents"]].sum()
+    g["n_custs"] = g["n_custs"].astype(np.int64)
+    # exact int cents / count -> double, identical division both sides
+    g["avg_bal"] = np.round(g["bal_cents"] / g["n_custs"] / 100.0, 6)
+    return (
+        g[["c_mktsegment", "n_custs", "avg_bal"]]
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
+Q22_SQL = """
+WITH avg_pos AS (
+  SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_custs,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.0
+             / count(*) / 100.0, 6) AS avg_bal
+FROM customer, avg_pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def lineitem_corr_by_flag(sf_dir: str):
     """Distributed Pearson correlation from EXACT integer moment partials.
 
@@ -1703,6 +1916,8 @@ QUERIES = {
     "returned_item_revenue": returned_item_revenue,
     "nation_pair_trade": nation_pair_trade,
     "priority_ship_lag_counts": priority_ship_lag_counts,
+    "late_order_priority_counts": late_order_priority_counts,
+    "rich_customers_without_orders": rich_customers_without_orders,
     "lineitem_corr_by_flag": lineitem_corr_by_flag,
     "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
     "cube_sales_by_flag_status": cube_sales_by_flag_status,
@@ -1730,6 +1945,8 @@ ORACLE = {
     "returned_item_revenue": Q10_SQL,
     "nation_pair_trade": Q7_SQL,
     "priority_ship_lag_counts": Q12_SQL,
+    "late_order_priority_counts": Q4_SQL,
+    "rich_customers_without_orders": Q22_SQL,
     "lineitem_corr_by_flag": CORR_SQL,
     "rollup_sales_by_flag_status": ROLLUP_SQL,
     "cube_sales_by_flag_status": CUBE_SQL,

@@ -64,3 +64,31 @@ def test_priority_ship_lag_matches_duckdb(ray_session, num_buckets):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True)
     )
+
+
+@pytest.mark.parametrize("num_buckets", [1, 8])
+def test_late_order_priority_matches_duckdb(ray_session, num_buckets):
+    from mpds_ray.pipelines.relational import Q4_SQL, late_order_priority_counts
+
+    got = late_order_priority_counts(SF, num_buckets=num_buckets)
+    exp = _duck(Q4_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("num_buckets", [1, 8])
+def test_rich_customers_without_orders_matches_duckdb(ray_session, num_buckets):
+    """Includes the empty-orders-bucket anti-join edge at num_buckets=8 (the
+    1999+ order subset leaves some buckets without orders rows; those
+    buckets must KEEP their customers)."""
+    from mpds_ray.pipelines.relational import (
+        Q22_SQL,
+        rich_customers_without_orders,
+    )
+
+    got = rich_customers_without_orders(SF, num_buckets=num_buckets)
+    exp = _duck(Q22_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
