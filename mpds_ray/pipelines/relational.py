@@ -1462,6 +1462,103 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def customer_order_distribution(sf_dir: str, num_buckets: int = 16):
+    """TPC-H Q13-shaped LEFT-join count distribution: how many customers
+    placed exactly k orders, INCLUDING k = 0 (the LEFT semantics that a
+    plain orders-side groupby would silently drop). Orders pre-reduce to
+    per-custkey count partials map-side; both sides exchange on c_custkey so
+    each bucket holds every customer with ALL its order partials and can
+    emit its own (k -> n_customers) histogram — the driver folds
+    |distinct k| × num_buckets tiny rows."""
+    from ..stages.exchange import exchange_map
+    from ..stages.partition import stable_bucket
+    from .common import shard_list
+
+    def c_map(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["c_custkey"]})
+
+    def o_map(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False)}
+            )
+            .groupby("c_custkey", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["c_custkey"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    c_grid = exchange_map(
+        shard_list(sf_dir, "customer"), c_map, bucket_fn, num_buckets,
+        columns=["c_custkey"],
+    )
+    o_grid = exchange_map(
+        shard_list(sf_dir, "orders"), o_map, bucket_fn, num_buckets,
+        columns=["o_custkey"],
+    )
+    n_c = len(c_grid)
+
+    @ray.remote
+    def hist_bucket(*parts) -> pd.DataFrame:
+        cp = [p for p in parts[:n_c] if p is not None and p.num_rows]
+        op = [p for p in parts[n_c:] if p is not None and p.num_rows]
+        if not cp:
+            return pd.DataFrame()
+        cust = pa.concat_tables(cp).to_pandas()
+        if op:
+            counts = (
+                pa.concat_tables(op)
+                .to_pandas()
+                .groupby("c_custkey", as_index=False)["n"]
+                .sum()
+            )
+            cust = cust.merge(counts, on="c_custkey", how="left")
+            cust["n"] = cust["n"].fillna(0).astype(np.int64)
+        else:
+            cust["n"] = np.int64(0)  # LEFT semantics: zero-order customers
+        g = cust.groupby("n", as_index=False).size()
+        return g.rename(columns={"n": "c_count", "size": "n_custs"})
+
+    frames = ray.get(
+        [
+            hist_bucket.remote(
+                *[c_grid[i][b] for i in range(n_c)],
+                *[o_grid[i][b] for i in range(len(o_grid))],
+            )
+            for b in range(num_buckets)
+        ]
+    )
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame(
+            {
+                "c_count": pd.Series(dtype=np.int64),
+                "n_custs": pd.Series(dtype=np.int64),
+            }
+        )
+    out = (
+        pd.concat(frames, ignore_index=True)
+        .groupby("c_count", as_index=False)["n_custs"]
+        .sum()
+    )
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS n_custs FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+) GROUP BY 1 ORDER BY 1
+"""
+
+
 def lineitem_corr_by_flag(sf_dir: str):
     """Distributed Pearson correlation from EXACT integer moment partials.
 
@@ -1918,6 +2015,7 @@ QUERIES = {
     "priority_ship_lag_counts": priority_ship_lag_counts,
     "late_order_priority_counts": late_order_priority_counts,
     "rich_customers_without_orders": rich_customers_without_orders,
+    "customer_order_distribution": customer_order_distribution,
     "lineitem_corr_by_flag": lineitem_corr_by_flag,
     "rollup_sales_by_flag_status": rollup_sales_by_flag_status,
     "cube_sales_by_flag_status": cube_sales_by_flag_status,
@@ -1947,6 +2045,7 @@ ORACLE = {
     "priority_ship_lag_counts": Q12_SQL,
     "late_order_priority_counts": Q4_SQL,
     "rich_customers_without_orders": Q22_SQL,
+    "customer_order_distribution": Q13_SQL,
     "lineitem_corr_by_flag": CORR_SQL,
     "rollup_sales_by_flag_status": ROLLUP_SQL,
     "cube_sales_by_flag_status": CUBE_SQL,

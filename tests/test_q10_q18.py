@@ -92,3 +92,14 @@ def test_rich_customers_without_orders_matches_duckdb(ray_session, num_buckets):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True)
     )
+
+
+@pytest.mark.parametrize("num_buckets", [1, 8])
+def test_customer_order_distribution_matches_duckdb(ray_session, num_buckets):
+    from mpds_ray.pipelines.relational import Q13_SQL, customer_order_distribution
+
+    got = customer_order_distribution(SF, num_buckets=num_buckets)
+    exp = _duck(Q13_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
