@@ -332,16 +332,127 @@ def embedding_near_dups_lsh(
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def knn_label_vote(sf_dir: str):
+    """kNN classification vote for query vec 0: label counts among its
+    top-10 cosine neighbors (the eval op an embedding pipeline runs to
+    sanity-check a space). Reuses the distributed partial-top-k scorer;
+    labels for the 10 winners come from ONE pruned, predicate-pushed scan —
+    never a full label collect."""
+    import pyarrow.dataset as pds
+
+    top = knn_cosine_top10(sf_dir)
+    ids = top["vec_id"].to_numpy()
+    lab = read(
+        sf_dir, "embeddings", columns=["vec_id", "label"],
+        filter_expr=pds.field("vec_id").isin(ids),
+    ).to_pandas()
+    j = top.merge(lab, on="vec_id")
+    out = j.groupby("label", as_index=False).size().rename(
+        columns={"size": "n_neighbors"}
+    )
+    out["label"] = out["label"].astype(np.int32)
+    out["n_neighbors"] = out["n_neighbors"].astype(np.int64)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+KNN_VOTE_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT vec_id
+  FROM embeddings, q
+  WHERE vec_id != 0
+  ORDER BY round(list_cosine_similarity(embedding, qe), 6) DESC, vec_id
+  LIMIT {K}
+)
+SELECT label, count(*) AS n_neighbors
+FROM top JOIN embeddings USING (vec_id)
+GROUP BY label ORDER BY label
+"""
+
+
+def embedding_quant_error(sf_dir: str):
+    """Per-label mean of the per-vector max reconstruction error under
+    min/max int8 (256-level) quantization — the storage-compression QA op.
+    Fully segment-vectorized: per-vector min/max via reduceat over the list
+    offsets, quantize/dequantize as flat float64 arithmetic, per-vector max
+    error via reduceat; per-label (sum, count) partials fold on the driver
+    (label-domain bounded). Quantization uses floor(t + 0.5) on BOTH sides
+    (no half-even vs half-away divergence); zero-range vectors get scale 1
+    (error exactly 0)."""
+    from .text import _segment_reduceat
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def fn(b) -> pd.DataFrame:
+        import pyarrow as pa
+
+        arr = b["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        lo = _segment_reduceat(np.minimum, flat, offs, 0.0)
+        hi = _segment_reduceat(np.maximum, flat, offs, 0.0)
+        rng = hi - lo
+        scale = np.where(rng > 0, rng / 255.0, 1.0)
+        lo_f = np.repeat(lo, lens)
+        s_f = np.repeat(scale, lens)
+        rec = np.floor((flat - lo_f) / s_f + 0.5) * s_f + lo_f
+        err = _segment_reduceat(np.maximum, np.abs(rec - flat), offs, 0.0)
+        g = (
+            pd.DataFrame(
+                {"label": b["label"].to_numpy(zero_copy_only=False), "err": err}
+            )
+            .groupby("label", as_index=False)
+            .agg(sum_err=("err", "sum"), n_vecs=("err", "size"))
+        )
+        return g
+
+    parts = emb.map_batches(fn, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("label", as_index=False)[["sum_err", "n_vecs"]].sum()
+    out["label"] = out["label"].astype(np.int32)
+    out["n_vecs"] = out["n_vecs"].astype(np.int64)
+    out["mean_max_err"] = np.round(out.pop("sum_err") / out["n_vecs"], 6)
+    return (
+        out[["label", "n_vecs", "mean_max_err"]]
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+
+
+QUANT_ERR_SQL = """
+WITH f AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), mm AS (
+  SELECT vec_id, min(x) AS lo,
+         CASE WHEN max(x) > min(x) THEN (max(x) - min(x)) / 255.0 ELSE 1.0 END AS s
+  FROM f GROUP BY vec_id
+), er AS (
+  SELECT f.label,
+         max(abs(floor((x - lo) / s + 0.5) * s + lo - x)) AS err
+  FROM f JOIN mm USING (vec_id)
+  GROUP BY f.vec_id, f.label
+)
+SELECT label, count(*) AS n_vecs, round(avg(err), 6) AS mean_max_err
+FROM er GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "knn_ivf_top10": knn_ivf_top10,
     "label_centroid_sims": label_centroid_sims,
     "embedding_near_dups": embedding_near_dups,
     "embedding_near_dups_lsh": embedding_near_dups_lsh,
+    "knn_label_vote": knn_label_vote,
+    "embedding_quant_error": embedding_quant_error,
 }
 
 ORACLE = {
     "knn_cosine_top10": KNN_SQL,
     "label_centroid_sims": CENTROID_SQL,
     "embedding_near_dups": NEAR_DUP_SQL,
+    "knn_label_vote": KNN_VOTE_SQL,
+    "embedding_quant_error": QUANT_ERR_SQL,
 }

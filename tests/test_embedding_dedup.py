@@ -68,3 +68,52 @@ def test_lsh_recall_vs_exact(ray_session, tmp_path):
     assert lsh_pairs == exact_pairs  # full recall AND identical verified sims
 
 
+
+
+def test_embedding_quant_error_hand_values(ray_session, tmp_path):
+    """A vector spanning [0, 255] quantizes losslessly at integer points
+    (scale exactly 1); a constant vector has zero range -> zero error; a
+    two-point vector {0, 1} also reconstructs exactly (scale 1/255 hits the
+    endpoints)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mpds_ray.pipelines.knn import embedding_quant_error
+
+    vecs = [
+        np.arange(256, dtype=np.float32),          # label 0: exact grid
+        np.full(16, 3.25, dtype=np.float32),       # label 1: constant
+        np.array([0.0, 1.0] * 8, dtype=np.float32),  # label 2: endpoints
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 2], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = embedding_quant_error(str(tmp_path))
+    got = dict(zip(out.label, out.mean_max_err))
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0}
+    assert dict(zip(out.label, out.n_vecs)) == {0: 1, 1: 1, 2: 1}
+
+
+def test_knn_label_vote_consistent_with_top10(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from mpds_ray.pipelines.knn import knn_cosine_top10, knn_label_vote
+
+    top = knn_cosine_top10(sf_dir)
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pandas()
+    expected = (
+        top.merge(emb, on="vec_id").groupby("label").size().to_dict()
+    )
+    out = knn_label_vote(sf_dir)
+    assert dict(zip(out.label, out.n_neighbors)) == expected
+    assert out.n_neighbors.sum() == len(top)
