@@ -612,6 +612,83 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def monthly_revenue_cumshare(sf_dir: str, num_buckets: int = 16):
+    """Window-over-aggregate shape: monthly revenue plus each month's
+    CUMULATIVE share of total revenue (the running-mix report). The join +
+    per-month fold is the monthly_order_revenue exchange with exact integer
+    ten-thousandths; the window itself is a months-bounded driver cumsum
+    over exact int64, so the share is the same int/int double division in
+    Ray and SQL (rounded 6 dp only to pin the final display value)."""
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    def li_map(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                 "rev_i": cents * (100 - disc)}
+            )
+            .groupby("o_orderkey", as_index=False, sort=False)["rev_i"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def o_map(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks()
+        dt = pd.DatetimeIndex(d.to_pandas())
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "month": pa.array((dt.year * 100 + dt.month).astype(np.int64)),
+            }
+        )
+
+    def reduce_fn(b: int, li: pa.Table, orders: pa.Table) -> pd.DataFrame:
+        j = li.to_pandas().merge(orders.to_pandas(), on="o_orderkey")
+        return j.groupby("month", as_index=False)["rev_i"].sum()
+
+    out = exchange_join(
+        shard_list(sf_dir, "lineitem"),
+        shard_list(sf_dir, "orders"),
+        "o_orderkey",
+        reduce_fn,
+        num_buckets,
+        left_map=li_map,
+        right_map=o_map,
+        columns_left=["l_orderkey", "l_extendedprice", "l_discount"],
+        columns_right=["o_orderkey", "o_orderdate"],
+    )
+    # driver fold + window bounded by distinct months
+    out = out.groupby("month", as_index=False)["rev_i"].sum()
+    out = out.sort_values("month").reset_index(drop=True)
+    cum = out["rev_i"].cumsum()  # exact int64
+    total = int(out["rev_i"].sum())
+    out["cum_share"] = np.round(cum.to_numpy() / total, 6)
+    out["revenue"] = out.pop("rev_i") / 10000.0
+    return out[["month", "revenue", "cum_share"]]
+
+
+CUMSHARE_SQL = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT month, rev_i / 10000.0 AS revenue,
+       round(sum(rev_i) OVER (ORDER BY month) * 1.0
+             / (SELECT sum(rev_i) FROM m), 6) AS cum_share
+FROM m ORDER BY month
+"""
+
+
 def urgent_order_month_revenue(sf_dir: str, num_buckets: int = 16):
     """monthly_order_revenue restricted to 1-URGENT orders (~20% of the
     dimension side) — the selective-join shape where the bloom prefilter
@@ -2005,6 +2082,7 @@ ORDER BY rev_i DESC, o_custkey LIMIT 20
 
 QUERIES = {
     "monthly_order_revenue": monthly_order_revenue,
+    "monthly_revenue_cumshare": monthly_revenue_cumshare,
     "urgent_order_month_revenue": urgent_order_month_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2035,6 +2113,7 @@ QUERIES = {
 
 ORACLE = {
     "monthly_order_revenue": MONTHLY_REVENUE_SQL,
+    "monthly_revenue_cumshare": CUMSHARE_SQL,
     "urgent_order_month_revenue": URGENT_REVENUE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,

@@ -103,3 +103,15 @@ def test_customer_order_distribution_matches_duckdb(ray_session, num_buckets):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True)
     )
+
+
+def test_monthly_revenue_cumshare_matches_duckdb(ray_session):
+    from mpds_ray.pipelines.relational import CUMSHARE_SQL, monthly_revenue_cumshare
+
+    got = monthly_revenue_cumshare(SF, num_buckets=4)
+    exp = _duck(CUMSHARE_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+    assert got.cum_share.iloc[-1] == 1.0
+    assert got.cum_share.is_monotonic_increasing

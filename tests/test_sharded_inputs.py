@@ -18,7 +18,8 @@ def sharded_dir(tmp_path):
 
     src = "/root/testdata/sf0.001"
     for name in os.listdir(src):
-        if name in ("events.parquet", "documents.parquet"):
+        if name in ("events.parquet", "documents.parquet",
+                    "lineitem.parquet", "orders.parquet"):
             t = pq.read_table(f"{src}/{name}")
             d = tmp_path / name
             os.makedirs(d)
@@ -44,6 +45,24 @@ def _canon(res) -> pd.DataFrame:
      "dedup_exact", "first_event_per_user"],
 )
 def test_sharded_equals_single_file(ray_session, sharded_dir, name):
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    got = _canon(q(sharded_dir))
+    want = _canon(q("/root/testdata/sf0.001"))
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["large_order_customers", "returned_item_revenue", "nation_pair_trade",
+     "priority_ship_lag_counts", "late_order_priority_counts",
+     "customer_order_distribution", "monthly_order_revenue",
+     "dedup_passages", "unigram_logprob"],
+)
+def test_sharded_join_queries_equal_single_file(ray_session, sharded_dir, name):
+    """The round-3 exchange-join / two-pass queries over sharded lineitem,
+    orders and documents directories (the 100-TB layout)."""
     import __ray_entry__ as entrymod
 
     q = entrymod.queries()[name]
