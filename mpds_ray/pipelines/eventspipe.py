@@ -580,6 +580,54 @@ FROM events ORDER BY user_id, event_id
 """
 
 
+def user_retention_cohorts(sf_dir: str):
+    """Day-grain retention cohorts (the classic growth-analytics triangle):
+    cohort = a user's first active day, and for each day offset k, how many
+    of that cohort's users were active on cohort+k. The user-hash exchange
+    makes each user's rows bucket-complete, so a bucket computes its users'
+    cohorts and distinct (user, offset) activity locally and the per-(cohort,
+    offset) count partials are globally disjoint — the driver fold is
+    bounded by |days|² × buckets, never the user domain."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({"cohort_day": [], "day_offset": [], "n_users": []})
+        day = np.floor(ts / 86400.0).astype(np.int64)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        seglen = np.diff(np.append(starts, n))
+        cohort = np.repeat(day[starts], seglen)  # sorted by ts -> min day
+        d = pd.DataFrame(
+            {"user_id": u, "cohort_day": cohort, "day_offset": day - cohort}
+        ).drop_duplicates(["user_id", "day_offset"])
+        out = d.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    parts = _per_bucket_events(sf_dir, [], fn)
+    out = parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+), a AS (
+  SELECT DISTINCT e.user_id, cohort_day, day - cohort_day AS day_offset
+  FROM e JOIN f USING (user_id)
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def view_purchase_transitions(sf_dir: str):
     """Adjacent-pair sequence-pattern count (MATCH_RECOGNIZE-lite): per
     user, how many immediate view→purchase transitions occur in the
@@ -1585,6 +1633,7 @@ QUERIES = {
     "event_type_user_reach": event_type_user_reach,
     "event_type_cooccurrence": event_type_cooccurrence,
     "user_value_dense_rank": user_value_dense_rank,
+    "user_retention_cohorts": user_retention_cohorts,
     "view_purchase_transitions": view_purchase_transitions,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
@@ -1623,6 +1672,7 @@ ORACLE = {
     "event_type_user_reach": REACH_SQL,
     "event_type_cooccurrence": COOCCURRENCE_SQL,
     "user_value_dense_rank": DENSE_RANK_SQL,
+    "user_retention_cohorts": RETENTION_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,

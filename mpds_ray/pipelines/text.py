@@ -295,6 +295,77 @@ GROUP BY k.doc_id
 """
 
 
+def source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (the corpus-mix audit a
+    pretraining pipeline runs before weighting sources): map tasks emit
+    DISTINCT (source, token) pairs — bounded by |sources| × VOCAB, never by
+    rows — and the driver computes the |sources|² overlap matrix with one
+    indicator matmul. Intersections/sizes are exact ints, so the Jaccard
+    division is bit-identical to SQL."""
+    from .common import bounded_to_pandas
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tok = tokenize_batch(batch)
+        flat, offs = _flat_tokens(tok)
+        src = tok["source"].to_numpy(zero_copy_only=False)
+        d = pd.DataFrame(
+            {
+                "source": np.repeat(src, np.diff(offs)),
+                "t": flat.astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    pairs = bounded_to_pandas(
+        docs.map_batches(fn, batch_format="pyarrow"),
+        "source_vocab_overlap distinct (source, token) pairs "
+        "(bounded by |sources| x VOCAB)",
+    ).drop_duplicates()
+    su, sinv = np.unique(pairs["source"].to_numpy(), return_inverse=True)
+    tu, tinv = np.unique(pairs["t"].to_numpy(), return_inverse=True)
+    m = np.zeros((su.size, tu.size), dtype=np.float32)
+    m[sinv, tinv] = 1.0
+    inter = (m @ m.T).astype(np.int64)
+    sizes = inter.diagonal()
+    ii, jj = np.triu_indices(su.size, k=1)
+    i = inter[ii, jj]
+    keep = i > 0
+    ii, jj, i = ii[keep], jj[keep], i[keep]
+    union = sizes[ii] + sizes[jj] - i
+    return pd.DataFrame(
+        {
+            "source_a": su[ii],
+            "source_b": su[jj],
+            "n_shared": i,
+            "vocab_jaccard": np.round(i / union, 6),
+        }
+    ).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+VOCAB_OVERLAP_SQL = f"""
+WITH tok AS (
+  SELECT source, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), f AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest(tokens) AS t FROM tok)
+), sz AS (
+  SELECT source, count(*) AS n FROM f GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM f a JOIN f b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS vocab_jaccard
+FROM inter
+JOIN sz sa ON sa.source = source_a
+JOIN sz sb ON sb.source = source_b
+ORDER BY 1, 2
+"""
+
+
 # --- windowed token stats over the derived tokens table (W1 surface) ---
 
 
@@ -1091,6 +1162,7 @@ QUERIES = {
     "quality_scores": quality_scores,
     "doc_repetition_ratio": doc_repetition_ratio,
     "unigram_logprob": unigram_logprob,
+    "source_vocab_overlap": source_vocab_overlap,
     "doc_token_stats": doc_token_stats,
     "lang_id": lang_id,
     "simhash_docs": simhash_docs,
@@ -1110,6 +1182,7 @@ ORACLE = {
     "quality_scores": QUALITY_SQL,
     "doc_repetition_ratio": REPETITION_SQL,
     "unigram_logprob": UNIGRAM_SQL,
+    "source_vocab_overlap": VOCAB_OVERLAP_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "ngram_jaccard_vs_doc0": NGRAM_JACCARD_SQL,

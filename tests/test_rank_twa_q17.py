@@ -222,3 +222,49 @@ def test_user_value_dense_rank_hand_values(ray_session, tmp_path):
     out = user_value_dense_rank(str(d))
     got = dict(zip(out.event_id, out.dense_rank))
     assert got == {1: 3, 2: 1, 3: 3, 4: 2, 5: 1}
+
+
+def test_user_retention_cohorts_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import user_retention_cohorts
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    day = 86400
+    # users 1,2 start day 0 (cohort d0); user 1 returns day 1 and day 2,
+    # user 2 returns day 2 only; user 3 starts day 1 (cohort d1).
+    # Repeat events on the same day must not double-count.
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1), (2, 1, "view", 100, 1),
+            (3, 1, "view", day, 1), (4, 1, "view", 2 * day, 1),
+            (5, 2, "view", 50, 1), (6, 2, "view", 2 * day + 5, 1),
+            (7, 3, "view", day + 9, 1),
+        ],
+    )
+    out = user_retention_cohorts(str(d))
+    got = {(c - out.cohort_day.min(), o): n
+           for c, o, n in out.itertuples(index=False)}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+
+def test_source_vocab_overlap_hand_values(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mpds_ray.pipelines.text import source_vocab_overlap
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["a b c", "a b", "a x y", "q r s t"],
+            "lang": "en",
+            "source": ["s1", "s1", "s2", "s3"],
+            "n_chars": [5, 3, 5, 7],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    out = source_vocab_overlap(str(tmp_path))
+    got = {(a, b): (n, j) for a, b, n, j in out.itertuples(index=False)}
+    # s1 vocab {a,b,c}, s2 {a,x,y}: share {a} -> 1/5; s3 disjoint -> absent
+    assert got == {("s1", "s2"): (1, 0.2)}
