@@ -580,6 +580,80 @@ FROM events ORDER BY user_id, event_id
 """
 
 
+def signup_view_purchase_funnel(sf_dir: str):
+    """Three-step strict-order funnel at USER grain: first signup, then the
+    first view strictly after it, then the first purchase strictly after
+    that view. Each stage is one masked segment-min over the sorted bucket
+    (mask = type match AND ts beyond the previous stage's repeated
+    timestamp) — three reduceats, no joins, no window shuffle; each bucket
+    emits one partial count row and the conversion is a single int/int
+    double division on both sides."""
+
+    inf = np.inf
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {"n_signup": [0], "n_signup_view": [0],
+                 "n_signup_view_purchase": [0]}
+            )
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        seglen = np.diff(np.append(starts, n))
+
+        def stage_min(mask: np.ndarray) -> np.ndarray:
+            v = np.where(mask, ts, inf)
+            return np.minimum.reduceat(v, starts)
+
+        t1 = stage_min(et == "signup")
+        t2 = stage_min((et == "view") & (ts > np.repeat(t1, seglen)))
+        t3 = stage_min((et == "purchase") & (ts > np.repeat(t2, seglen)))
+        return pd.DataFrame(
+            {
+                "n_signup": [int(np.isfinite(t1).sum())],
+                "n_signup_view": [int(np.isfinite(t2).sum())],
+                "n_signup_view_purchase": [int(np.isfinite(t3).sum())],
+            }
+        )
+
+    parts = _per_bucket_events(sf_dir, ["event_type"], fn)
+    tot = parts.sum()
+    n1 = int(tot["n_signup"])
+    out = pd.DataFrame(
+        {
+            "n_signup": [np.int64(n1)],
+            "n_signup_view": [np.int64(tot["n_signup_view"])],
+            "n_signup_view_purchase": [np.int64(tot["n_signup_view_purchase"])],
+        }
+    )
+    out["conversion"] = np.round(
+        int(tot["n_signup_view_purchase"]) / max(n1, 1), 6
+    )
+    return out
+
+
+FUNNEL3_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch(ts) AS ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup'
+       GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_signup_view,
+       (SELECT count(*) FROM s3) AS n_signup_view_purchase,
+       round((SELECT count(*) FROM s3) * 1.0
+             / greatest((SELECT count(*) FROM s1), 1), 6) AS conversion
+"""
+
+
 def user_retention_cohorts(sf_dir: str):
     """Day-grain retention cohorts (the classic growth-analytics triangle):
     cohort = a user's first active day, and for each day offset k, how many
@@ -1634,6 +1708,7 @@ QUERIES = {
     "event_type_cooccurrence": event_type_cooccurrence,
     "user_value_dense_rank": user_value_dense_rank,
     "user_retention_cohorts": user_retention_cohorts,
+    "signup_view_purchase_funnel": signup_view_purchase_funnel,
     "view_purchase_transitions": view_purchase_transitions,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
@@ -1673,6 +1748,7 @@ ORACLE = {
     "event_type_cooccurrence": COOCCURRENCE_SQL,
     "user_value_dense_rank": DENSE_RANK_SQL,
     "user_retention_cohorts": RETENTION_SQL,
+    "signup_view_purchase_funnel": FUNNEL3_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,

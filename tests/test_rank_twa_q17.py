@@ -268,3 +268,27 @@ def test_source_vocab_overlap_hand_values(ray_session, tmp_path):
     got = {(a, b): (n, j) for a, b, n, j in out.itertuples(index=False)}
     # s1 vocab {a,b,c}, s2 {a,x,y}: share {a} -> 1/5; s3 disjoint -> absent
     assert got == {("s1", "s2"): (1, 0.2)}
+
+
+def test_signup_view_purchase_funnel_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import signup_view_purchase_funnel
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1: signup -> view -> purchase (full funnel)
+    # user 2: view BEFORE signup doesn't count; no view after -> stage 1 only
+    # user 3: signup -> view, purchase BEFORE the view -> stage 2 only
+    # user 4: no signup -> not in the funnel at all
+    _write_events(
+        d,
+        [
+            (1, 1, "signup", 0, 1), (2, 1, "view", 1, 1), (3, 1, "purchase", 2, 1),
+            (4, 2, "view", 0, 1), (5, 2, "signup", 1, 1),
+            (6, 3, "signup", 0, 1), (7, 3, "purchase", 1, 1), (8, 3, "view", 2, 1),
+            (9, 4, "view", 0, 1), (10, 4, "purchase", 1, 1),
+        ],
+    )
+    out = signup_view_purchase_funnel(str(d))
+    row = out.iloc[0]
+    assert (row.n_signup, row.n_signup_view, row.n_signup_view_purchase) == (3, 2, 1)
+    assert row.conversion == round(1 / 3, 6)
