@@ -1025,6 +1025,51 @@ SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch, event_type,
 FROM events GROUP BY 1, 2
 """
 
+def hopping_window_stats(sf_dir: str, size_s: int = 1800, hop_s: int = 900):
+    """HOPPING (overlapping) event-time windows — the streaming aggregate
+    shape tumbling windows can't express: size 1800 s sliding by 900 s, so
+    every event belongs to size/hop = 2 windows. The expansion is a
+    vectorized repeat inside map_batches (each event emits its size/hop
+    window_starts), then the same partial-groupby-sum fold as the tumbling
+    query — window-domain-bounded, no shuffle of raw rows."""
+    k = size_s // hop_s
+    ev = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = (b["ts"].astype("int64") // 1_000_000).to_numpy()
+        base = epoch // hop_s
+        starts = (
+            np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), len(base))
+        ) * hop_s
+        return pd.DataFrame(
+            {
+                "window_start": starts,
+                "event_type": np.repeat(b["event_type"].to_numpy(), k),
+                "value": np.repeat(b["value"].to_numpy(), k),
+            }
+        )
+
+    agg = partial_groupby_sum(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["window_start", "event_type"],
+        {"value": "sum_value"},
+        count_as="n",
+    )
+    return round_columns(agg, {"sum_value": 2})
+
+
+HOPPING_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS base, event_type, value
+  FROM events
+)
+SELECT CAST((base - i) * 900 AS BIGINT) AS window_start, event_type,
+       round(sum(value), 2) AS sum_value, count(*) AS n
+FROM e, (SELECT unnest([0, 1]) AS i)
+GROUP BY 1, 2
+"""
+
+
 # --- T8 debounce: error bursts lasting >= 600 s ---
 
 DEBOUNCE_TH = 600.0
@@ -1709,6 +1754,7 @@ QUERIES = {
     "user_value_dense_rank": user_value_dense_rank,
     "user_retention_cohorts": user_retention_cohorts,
     "signup_view_purchase_funnel": signup_view_purchase_funnel,
+    "hopping_window_stats": hopping_window_stats,
     "view_purchase_transitions": view_purchase_transitions,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
@@ -1749,6 +1795,7 @@ ORACLE = {
     "user_value_dense_rank": DENSE_RANK_SQL,
     "user_retention_cohorts": RETENTION_SQL,
     "signup_view_purchase_funnel": FUNNEL3_SQL,
+    "hopping_window_stats": HOPPING_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,

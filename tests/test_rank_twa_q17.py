@@ -292,3 +292,28 @@ def test_signup_view_purchase_funnel_hand_values(ray_session, tmp_path):
     row = out.iloc[0]
     assert (row.n_signup, row.n_signup_view, row.n_signup_view_purchase) == (3, 2, 1)
     assert row.conversion == round(1 / 3, 6)
+
+
+def test_hopping_window_stats_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import hopping_window_stats
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01").value // 1000 // 1_000_000  # epoch s
+    # event at +100 s lands in windows [base-900, base] starts; the event at
+    # +1000 s shares one window with it and opens the next
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 100, 2.0),
+            (2, 1, "view", 1000, 3.0),
+        ],
+    )
+    out = hopping_window_stats(str(d))
+    out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    got = {int(w - (base // 900) * 900): (n, s)
+           for w, _, s, n in out[["window_start", "event_type",
+                                  "sum_value", "n"]].itertuples(index=False)}
+    # windows relative to the aligned start: event1 in [-900, 0], event2 in
+    # [0, 900] -> window -900 has {e1}, window 0 has {e1, e2}, window 900 {e2}
+    assert got == {-900: (1, 2.0), 0: (2, 5.0), 900: (1, 3.0)}
