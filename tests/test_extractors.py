@@ -71,8 +71,14 @@ class TestAccel:
         assert f[h.index("y_dfc")] == pytest.approx(1.2, abs=0.1)
 
     def test_deterministic(self):
+        # compare two calls made in the SAME execution context: the
+        # module-level _ACCEL_F is computed at import, BEFORE ray.init
+        # forces OMP_NUM_THREADS=1, and OpenBLAS results can differ in the
+        # last bits across a thread-count change — the kernel's actual
+        # claim is no RNG/state, i.e. repeat-call bitwise equality
+        _, f1 = extract_accel_features(_ACCEL_DATA)
         _, f2 = extract_accel_features(_ACCEL_DATA)
-        np.testing.assert_array_equal(_ACCEL_F, f2)
+        np.testing.assert_array_equal(f1, f2)
 
 
 class TestTap:
