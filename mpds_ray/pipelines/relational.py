@@ -330,6 +330,108 @@ FROM events
 # --- grouped quantiles (A5 keyed): per-group mergeable summary ---
 
 
+def value_median_exact(sf_dir: str, driver_cap: int = 1_000_000):
+    """EXACT global median by distributed selection — the alternative to the
+    mergeable sketch when the answer must be exact at ANY scale: iterate
+    [pass: per-shard 65536-bin histogram over the current range → locate the
+    bin(s) holding the two middle ranks] until the candidate range holds
+    <= driver_cap rows, then ONE bounded collect of that range finishes the
+    selection exactly. Each round narrows the range ~65536x, so 10^12 rows
+    need two histogram passes; every exchange is a (65537,) int64 vector per
+    shard. Median for even n is (a+b)/2 — the same arithmetic DuckDB's
+    median() runs, so the result is bit-identical with NO rounding."""
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "events")
+    nbins = 65536
+
+    @ray.remote
+    def stats_shard(path: str) -> tuple[float, float, int]:
+        import pyarrow.parquet as pq
+
+        v = pq.read_table(path, columns=["value"])["value"].to_numpy(
+            zero_copy_only=False
+        )
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return np.inf, -np.inf, 0
+        return float(v.min()), float(v.max()), int(v.size)
+
+    parts = ray.get([stats_shard.remote(p) for p in shards])
+    lo = min(p[0] for p in parts)
+    hi = max(p[1] for p in parts)
+    n = sum(p[2] for p in parts)
+    if n == 0:
+        return pd.DataFrame({"median_value": [np.nan]})
+    # ranks of the two middle order statistics (1-based)
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+
+    @ray.remote
+    def hist_shard(path: str, lo: float, hi: float) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        v = pq.read_table(path, columns=["value"])["value"].to_numpy(
+            zero_copy_only=False
+        )
+        v = v[~np.isnan(v)]
+        below = int((v < lo).sum())
+        inside = v[(v >= lo) & (v <= hi)]
+        if hi > lo:
+            idx = np.minimum(
+                ((inside - lo) / (hi - lo) * nbins).astype(np.int64), nbins - 1
+            )
+            h = np.bincount(idx, minlength=nbins)
+        else:
+            h = np.zeros(nbins, dtype=np.int64)
+            h[0] = inside.size
+        return np.r_[below, h]
+
+    # Narrow [lo, hi] until the median's candidate window is collect-sized.
+    # Bin edges are EXPANDED one bin each way so float edge-rounding in the
+    # histogram's bin assignment can never push the true k-rank values
+    # outside the window — exact rank accounting happens in the FINAL pass
+    # via predicate partitioning (v < lo counted, [lo, hi] collected), so
+    # the loop only needs containment, not exact offsets.
+    in_range = n
+    for _ in range(8):  # 65536x narrowing per round; 8 is unreachable depth
+        if in_range <= driver_cap or hi <= lo:
+            break
+        hs = ray.get([hist_shard.remote(p, lo, hi) for p in shards])
+        total = np.sum(hs, axis=0)
+        below, h = int(total[0]), total[1:]
+        cum = np.cumsum(h)
+        b1 = int(np.searchsorted(cum, k1 - below, side="left"))
+        b2 = int(np.searchsorted(cum, k2 - below, side="left"))
+        width = (hi - lo) / nbins
+        if width == 0:
+            break
+        lo_b, hi_b = max(b1 - 1, 0), min(b2 + 1, nbins - 1)
+        in_range = int(cum[hi_b] - (cum[lo_b - 1] if lo_b > 0 else 0))
+        lo, hi = lo + lo_b * width, min(lo + (hi_b + 1) * width, hi)
+
+    @ray.remote
+    def collect_shard(path: str, lo: float, hi: float):
+        import pyarrow.parquet as pq
+
+        v = pq.read_table(path, columns=["value"])["value"].to_numpy(
+            zero_copy_only=False
+        )
+        v = v[~np.isnan(v)]
+        return int((v < lo).sum()), np.sort(v[(v >= lo) & (v <= hi)])
+
+    # bounded final collect with exact predicate partitioning: every value
+    # is counted below lo, collected in [lo, hi], or above hi
+    parts = ray.get([collect_shard.remote(p, lo, hi) for p in shards])
+    rank_below = sum(p[0] for p in parts)
+    cand = np.sort(np.concatenate([p[1] for p in parts]))
+    a = cand[k1 - rank_below - 1]
+    b = cand[k2 - rank_below - 1]
+    return pd.DataFrame({"median_value": [(a + b) / 2.0]})
+
+
+MEDIAN_EXACT_SQL = "SELECT median(value) AS median_value FROM events"
+
+
 def grouped_value_quantiles(sf_dir: str):
     """Per-event-type median/p90 of value via the KEYED mergeable quantile
     summary (stages/sketch.py): map batches emit per-(type) weighted order
@@ -2104,6 +2206,7 @@ QUERIES = {
     "distinct_segments": distinct_segments,
     "event_type_counts": event_type_counts,
     "value_quantiles": value_quantiles,
+    "value_median_exact": value_median_exact,
     "grouped_value_quantiles": grouped_value_quantiles,
     "customers_without_orders": customers_without_orders,
     "building_order_stats": building_order_stats,
@@ -2135,6 +2238,7 @@ ORACLE = {
     "distinct_segments": DISTINCT_SQL,
     "event_type_counts": EVENT_COUNTS_SQL,
     "value_quantiles": QUANTILES_SQL,
+    "value_median_exact": MEDIAN_EXACT_SQL,
     "grouped_value_quantiles": GROUPED_QUANTILES_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
     "building_order_stats": BUILDING_SQL,

@@ -115,3 +115,55 @@ def test_monthly_revenue_cumshare_matches_duckdb(ray_session):
     )
     assert got.cum_share.iloc[-1] == 1.0
     assert got.cum_share.is_monotonic_increasing
+
+
+class TestExactMedian:
+    def _write(self, tmp_path, values):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = len(values)
+        base = pd.Timestamp("2024-01-01").value // 1000
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(n), pa.int64()),
+                    "ts": pa.array([base + i for i in range(n)], pa.timestamp("us")),
+                    "user_id": pa.array(np.zeros(n), pa.int64()),
+                    "event_type": ["view"] * n,
+                    "value": pa.array(values, pa.float64()),
+                    "props": ["{}"] * n,
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        return str(tmp_path)
+
+    @pytest.mark.parametrize("cap", [1_000_000, 50])
+    @pytest.mark.parametrize("n", [999, 1000])
+    def test_matches_numpy_median(self, ray_session, tmp_path, cap, n):
+        """cap=50 forces the histogram-refinement loop (n > cap); both
+        parities; duplicates included so ranks can tie across bins."""
+        import numpy as np
+
+        from mpds_ray.pipelines.relational import value_median_exact
+
+        rng = np.random.default_rng(n)
+        vals = np.round(rng.normal(100, 25, n), 2)  # 2-dp -> many exact ties
+        d = tmp_path / f"sf{cap}_{n}"
+        d.mkdir()
+        sf = self._write(d, vals.tolist())
+        got = value_median_exact(sf, driver_cap=cap).median_value.iloc[0]
+        assert got == np.median(vals)
+
+    def test_point_mass(self, ray_session, tmp_path):
+        """A single repeated value larger than the cap must terminate (the
+        max-iteration guard) and return that value exactly."""
+        from mpds_ray.pipelines.relational import value_median_exact
+
+        d = tmp_path / "pm"
+        d.mkdir()
+        sf = self._write(d, [7.5] * 300)
+        got = value_median_exact(sf, driver_cap=50).median_value.iloc[0]
+        assert got == 7.5
