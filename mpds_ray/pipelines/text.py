@@ -295,6 +295,88 @@ GROUP BY k.doc_id
 """
 
 
+def _mg_summary(terms: np.ndarray, counts: np.ndarray, capacity: int):
+    """Reduce exact (term, count) pairs to a Misra–Gries summary of at most
+    ``capacity`` entries: decrement every count by the (capacity+1)-th
+    largest and keep the positive remainder. Undercount per term <=
+    N/(capacity+1); summaries MERGE by summing counts then re-reducing
+    (Agarwal et al., Mergeable Summaries)."""
+    if terms.size <= capacity:
+        return terms, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    t = int(counts[order[capacity]])
+    keep = counts - t > 0
+    return terms[keep], counts[keep] - t
+
+
+def heavy_hitter_terms(sf_dir: str, k: int = 20, capacity: int = 4096):
+    """Exact top-k terms via the two-pass heavy-hitter protocol — the
+    bounded-memory alternative to a full vocab exchange when the term
+    domain is unbounded: pass 1 builds a mergeable Misra–Gries summary per
+    shard (<= capacity entries each, merged and re-reduced on the driver —
+    every term with frequency >= N/(capacity+1) is guaranteed present);
+    pass 2 broadcasts the candidate set and counts ONLY those terms
+    exactly, so the final top-k is EXACT whenever the true k-th frequency
+    clears the MG guarantee (capacity >> k; bound pytest-pinned on an
+    adversarial over-capacity stream)."""
+    import ray
+
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "documents")
+
+    @ray.remote
+    def shard_summary(path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["text"])
+        flat, _ = _split_flat_offsets(t["text"])
+        terms, counts = np.unique(
+            np.asarray(flat.to_pandas()), return_counts=True
+        )
+        return _mg_summary(terms, counts.astype(np.int64), capacity)
+
+    merged: dict[str, int] = {}
+    for terms, counts in ray.get([shard_summary.remote(p) for p in shards]):
+        for t, c in zip(terms, counts):
+            merged[t] = merged.get(t, 0) + int(c)
+    mt = np.array(list(merged.keys()))
+    mc = np.array(list(merged.values()), dtype=np.int64)
+    cand, _ = _mg_summary(mt, mc, capacity)
+    cand_ref = ray.put(np.sort(cand))
+
+    @ray.remote
+    def shard_exact(path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["text"])
+        flat, _ = _split_flat_offsets(t["text"])
+        v = np.asarray(flat.to_pandas())
+        c = ray.get(cand_ref)
+        v = v[np.isin(v, c)]
+        terms, counts = np.unique(v, return_counts=True)
+        return terms, counts.astype(np.int64)
+
+    exact: dict[str, int] = {}
+    for terms, counts in ray.get([shard_exact.remote(p) for p in shards]):
+        for t, c in zip(terms, counts):
+            exact[t] = exact.get(t, 0) + int(c)
+    out = pd.DataFrame({"term": list(exact.keys()),
+                        "n": np.array(list(exact.values()), dtype=np.int64)})
+    return (
+        out.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+HEAVY_HITTER_SQL = """
+SELECT term, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+) GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
 def source_vocab_overlap(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources (the corpus-mix audit a
     pretraining pipeline runs before weighting sources): map tasks emit
@@ -1153,6 +1235,7 @@ FROM documents
 
 QUERIES = {
     "vocab_top_terms": vocab_top_terms,
+    "heavy_hitter_terms": heavy_hitter_terms,
     "bigram_top_terms": bigram_top_terms,
     "clean_text": clean_text,
     "tfidf_top_term": tfidf_top_term,
@@ -1173,6 +1256,7 @@ QUERIES = {
 
 ORACLE = {
     "vocab_top_terms": VOCAB_SQL,
+    "heavy_hitter_terms": HEAVY_HITTER_SQL,
     "bigram_top_terms": BIGRAM_SQL,
     "clean_text": CLEAN_TEXT_SQL,
     "tfidf_top_term": TFIDF_SQL,

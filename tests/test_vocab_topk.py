@@ -168,3 +168,63 @@ class TestPropsJson:
             }
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestMisraGries:
+    def test_summary_bound_and_guarantee(self):
+        """On an over-capacity adversarial stream the MG undercount stays
+        <= N/(capacity+1) and every term with true count above that bound
+        is present in the summary."""
+        import numpy as np
+
+        from mpds_ray.pipelines.text import _mg_summary
+
+        rng = np.random.default_rng(0)
+        # 500 distinct terms, Zipf-ish: a few heavy, long light tail
+        heavy = np.repeat([f"h{i}" for i in range(5)], 400)
+        tail = rng.choice([f"t{i}" for i in range(495)], 2000)
+        stream = np.concatenate([heavy, tail])
+        terms, counts = np.unique(stream, return_counts=True)
+        cap = 64
+        st, sc = _mg_summary(terms, counts.astype(np.int64), cap)
+        assert st.size <= cap
+        n = stream.size
+        bound = n / (cap + 1)
+        true = dict(zip(terms, counts))
+        for t, c in zip(st, sc):
+            assert 0 < c <= true[t]
+            assert true[t] - c <= bound
+        for t, c in true.items():
+            if c > bound:
+                assert t in set(st)
+
+    def test_two_pass_exact_over_capacity(self, ray_session, tmp_path):
+        """capacity < distinct terms: the two-pass protocol still returns
+        the EXACT top-k because pass 2 recounts candidates exactly."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mpds_ray.pipelines.text import heavy_hitter_terms
+
+        rng = np.random.default_rng(1)
+        docs = []
+        for i in range(40):
+            words = [f"common{j}" for j in range(3)] * 10 + list(
+                rng.choice([f"rare{j}" for j in range(300)], 30)
+            )
+            rng.shuffle(words)
+            docs.append(" ".join(words))
+        df = pd.DataFrame(
+            {"doc_id": np.arange(40, dtype=np.int64), "text": docs,
+             "lang": "en", "source": "s", "n_chars": [len(t) for t in docs]}
+        )
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+        got = heavy_hitter_terms(str(tmp_path), k=3, capacity=32)
+        all_words = np.concatenate([d.split(" ") for d in docs])
+        t, c = np.unique(all_words, return_counts=True)
+        exp = pd.DataFrame({"term": t, "n": c.astype(np.int64)}).sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort"
+        ).head(3).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
