@@ -654,6 +654,72 @@ SELECT (SELECT count(*) FROM s1) AS n_signup,
 """
 
 
+def hourly_user_value_grid(sf_dir: str):
+    """Resample each user's irregular value stream onto the exact hourly
+    grid inside their span via LOCF — the align-to-grid shape (reference
+    T7 sample-and-hold driven by a GENERATED grid + as-of join). Grid
+    points are built vectorized from per-user span bounds (repeat/arange),
+    and the hold itself is one bucket-local ``pd.merge_asof`` (C kernel,
+    by=user) — no window shuffle, no per-user loop; output is
+    grid-domain-bounded (hours in span × users)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(u)
+        empty = pd.DataFrame({"user_id": [], "grid_ts": [], "value": []})
+        if n == 0:
+            return empty
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n] - 1
+        g0 = np.ceil(ts[starts] / 3600.0).astype(np.int64)
+        g1 = np.floor(ts[ends] / 3600.0).astype(np.int64)
+        cnt = np.maximum(g1 - g0 + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        cfirst = np.r_[0, np.cumsum(cnt)[:-1]]
+        within = np.arange(total, dtype=np.int64) - np.repeat(cfirst, cnt)
+        grid = pd.DataFrame(
+            {
+                "user_id": np.repeat(u[starts], cnt),
+                "ts": (np.repeat(g0, cnt) + within) * 3600.0,
+            }
+        )
+        ev = g[["user_id", "ts", "value"]]
+        out = pd.merge_asof(
+            grid.sort_values("ts", kind="mergesort"),
+            ev.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="user_id",
+        )
+        out = out.rename(columns={"ts": "grid_ts"})
+        return out.sort_values(["user_id", "grid_ts"])
+
+    parts = _per_bucket_events(sf_dir, ["value"], fn)
+    return parts.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+
+
+GRID_SQL = """
+WITH e AS (SELECT user_id, epoch(ts) AS ts, value FROM events),
+b AS (
+  SELECT user_id, CAST(ceil(min(ts) / 3600.0) AS BIGINT) AS g0,
+         CAST(floor(max(ts) / 3600.0) AS BIGINT) AS g1
+  FROM e GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(g0, g1)) * 3600.0 AS grid_ts
+  FROM b WHERE g1 >= g0
+)
+SELECT g.user_id, g.grid_ts, e.value
+FROM grid g ASOF JOIN e ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+ORDER BY 1, 2
+"""
+
+
 def user_retention_cohorts(sf_dir: str):
     """Day-grain retention cohorts (the classic growth-analytics triangle):
     cohort = a user's first active day, and for each day offset k, how many
@@ -1753,6 +1819,7 @@ QUERIES = {
     "event_type_cooccurrence": event_type_cooccurrence,
     "user_value_dense_rank": user_value_dense_rank,
     "user_retention_cohorts": user_retention_cohorts,
+    "hourly_user_value_grid": hourly_user_value_grid,
     "signup_view_purchase_funnel": signup_view_purchase_funnel,
     "hopping_window_stats": hopping_window_stats,
     "view_purchase_transitions": view_purchase_transitions,
@@ -1794,6 +1861,7 @@ ORACLE = {
     "event_type_cooccurrence": COOCCURRENCE_SQL,
     "user_value_dense_rank": DENSE_RANK_SQL,
     "user_retention_cohorts": RETENTION_SQL,
+    "hourly_user_value_grid": GRID_SQL,
     "signup_view_purchase_funnel": FUNNEL3_SQL,
     "hopping_window_stats": HOPPING_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,

@@ -317,3 +317,34 @@ def test_hopping_window_stats_hand_values(ray_session, tmp_path):
     # windows relative to the aligned start: event1 in [-900, 0], event2 in
     # [0, 900] -> window -900 has {e1}, window 0 has {e1, e2}, window 900 {e2}
     assert got == {-900: (1, 2.0), 0: (2, 5.0), 900: (1, 3.0)}
+
+
+def test_hourly_user_value_grid_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import hourly_user_value_grid
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    h = 3600
+    # The fixture's base timestamp (2024-01-01 00:00) is ON an hour edge.
+    # user 1: events at +10s (v=1) and +2h+50s (v=9); grid points at 1h and
+    # 2h hold v=1 (the 2h+50s event is after the 2h grid point)
+    # user 2: starts exactly on the hour edge -> ONE grid point at +0
+    # holding the exact-match event (ASOF >= includes equality); the rest of
+    # its sub-hour span adds no further points
+    # user 3: span strictly inside an hour, off the edge -> no grid rows
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 10, 1.0),
+            (2, 1, "view", 2 * h + 50, 9.0),
+            (3, 2, "view", 0, 5.0),
+            (4, 2, "view", 100, 6.0),
+            (5, 3, "view", 30, 7.0),
+            (6, 3, "view", 90, 8.0),
+        ],
+    )
+    out = hourly_user_value_grid(str(d))
+    base = pd.Timestamp("2024-01-01").value // 1000 // 1_000_000
+    rel = {(int(u), int(t - base)): v
+           for u, t, v in zip(out.user_id, out.grid_ts, out.value)}
+    assert rel == {(1, h): 1.0, (1, 2 * h): 1.0, (2, 0): 5.0}
