@@ -53,6 +53,12 @@ BENCH_QUERIES = (
     "nation_pair_trade",
     "doc_repetition_ratio",
     "user_value_ewma",
+    "value_median_exact",
+    "heavy_hitter_terms",
+    "dedup_passages",
+    "unigram_logprob",
+    "hourly_user_value_grid",
+    "customer_order_distribution",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot
