@@ -409,6 +409,12 @@ def value_median_exact(sf_dir: str, driver_cap: int = 1_000_000):
         in_range = int(cum[hi_b] - (cum[lo_b - 1] if lo_b > 0 else 0))
         lo, hi = lo + lo_b * width, min(lo + (hi_b + 1) * width, hi)
 
+    if lo == hi:
+        # point-mass window: both middle ranks are contained in [lo, hi], a
+        # single value — the median IS that value; collecting the (possibly
+        # unbounded) duplicate run would be pointless
+        return pd.DataFrame({"median_value": [lo]})
+
     @ray.remote
     def collect_shard(path: str, lo: float, hi: float):
         import pyarrow.parquet as pq
