@@ -580,6 +580,120 @@ FROM events ORDER BY user_id, event_id
 """
 
 
+def user_median_gap(sf_dir: str):
+    """Median inter-arrival gap per user — a grouped EXACT median over a
+    DERIVED column (the window→aggregate composition): gaps come from one
+    shifted diff over the sorted bucket (entity boundaries masked) and the
+    per-user median is exact because the user-hash exchange makes every
+    user's gaps bucket-complete — a per-segment sort + middle-rank gather,
+    no sketch needed. Users with < 2 events are excluded on both sides.
+    Gaps are float-second diffs of the SAME epoch doubles DuckDB derives,
+    and the even-n median is the same (a+b)/2 — rounded 6 dp only to pin
+    the epoch-division ulps."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "median_gap": []})
+        same = np.zeros(n, dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = np.empty(n)
+        gaps[1:] = ts[1:] - ts[:-1]
+        gu = u[same]
+        gv = gaps[same]
+        if gu.size == 0:
+            return pd.DataFrame({"user_id": [], "median_gap": []})
+        # per-segment exact median: one lexsort, then gather the middle
+        # rank(s) per segment via its offsets
+        order = np.lexsort((gv, gu))
+        gu, gv = gu[order], gv[order]
+        first = np.r_[True, gu[1:] != gu[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, gu.size))
+        lo = starts + (lens - 1) // 2
+        hi = starts + lens // 2
+        return pd.DataFrame(
+            {
+                "user_id": gu[starts],
+                "median_gap": np.round((gv[lo] + gv[hi]) / 2.0, 6),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, [], fn)
+
+
+MEDIAN_GAP_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, round(median(gap), 6) AS median_gap
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def session_bounce_rate(sf_dir: str):
+    """Bounce rate: share of sessions containing exactly one event, plus
+    the session counts — one sessionize + bincount per bucket, partials
+    folded on the driver (bucket-count-bounded). The rate is the same
+    int/int double division in Ray and SQL."""
+    from ..stages.sessionize import sessionize_gap
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        sid = sessionize_gap(
+            g["user_id"].to_numpy(), g["ts"].to_numpy(), SESSION_GAP
+        )
+        if len(sid) == 0:
+            return pd.DataFrame({"n_sessions": [0], "n_bounces": [0]})
+        sizes = np.bincount(sid - sid.min())
+        sizes = sizes[sizes > 0]
+        return pd.DataFrame(
+            {
+                "n_sessions": [int(sizes.size)],
+                "n_bounces": [int((sizes == 1).sum())],
+            }
+        )
+
+    parts = _per_bucket_events(sf_dir, [], fn)
+    tot = parts.sum()
+    n_sessions = int(tot["n_sessions"])
+    out = pd.DataFrame(
+        {
+            "n_sessions": [np.int64(n_sessions)],
+            "n_bounces": [np.int64(tot["n_bounces"])],
+        }
+    )
+    out["bounce_rate"] = np.round(int(tot["n_bounces"]) / max(n_sessions, 1), 6)
+    return out
+
+
+BOUNCE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS ts FROM events
+), m AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {SESSION_GAP}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), sz AS (
+  SELECT count(*) AS n FROM s GROUP BY user_id, sid
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+             / greatest(count(*), 1), 6) AS bounce_rate
+FROM sz
+"""
+
+
 def signup_view_purchase_funnel(sf_dir: str):
     """Three-step strict-order funnel at USER grain: first signup, then the
     first view strictly after it, then the first purchase strictly after
@@ -1821,6 +1935,8 @@ QUERIES = {
     "user_retention_cohorts": user_retention_cohorts,
     "hourly_user_value_grid": hourly_user_value_grid,
     "signup_view_purchase_funnel": signup_view_purchase_funnel,
+    "user_median_gap": user_median_gap,
+    "session_bounce_rate": session_bounce_rate,
     "hopping_window_stats": hopping_window_stats,
     "view_purchase_transitions": view_purchase_transitions,
     "first_event_per_user": first_event_per_user,
@@ -1863,6 +1979,8 @@ ORACLE = {
     "user_retention_cohorts": RETENTION_SQL,
     "hourly_user_value_grid": GRID_SQL,
     "signup_view_purchase_funnel": FUNNEL3_SQL,
+    "user_median_gap": MEDIAN_GAP_SQL,
+    "session_bounce_rate": BOUNCE_SQL,
     "hopping_window_stats": HOPPING_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
     "user_set_ops": SET_OPS_SQL,

@@ -348,3 +348,46 @@ def test_hourly_user_value_grid_hand_values(ray_session, tmp_path):
     rel = {(int(u), int(t - base)): v
            for u, t, v in zip(out.user_id, out.grid_ts, out.value)}
     assert rel == {(1, h): 1.0, (1, 2 * h): 1.0, (2, 0): 5.0}
+
+
+def test_user_median_gap_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import user_median_gap
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1 gaps: 10, 30, 20 -> median 20 (odd count)
+    # user 2 gaps: 5, 15 -> median 10 (even count, (a+b)/2)
+    # user 3: single event -> excluded
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1), (2, 1, "view", 10, 1),
+            (3, 1, "view", 40, 1), (4, 1, "view", 60, 1),
+            (5, 2, "view", 0, 1), (6, 2, "view", 5, 1), (7, 2, "view", 20, 1),
+            (8, 3, "view", 0, 1),
+        ],
+    )
+    out = user_median_gap(str(d)).sort_values("user_id")
+    assert dict(zip(out.user_id, out.median_gap)) == {1: 20.0, 2: 10.0}
+
+
+def test_session_bounce_rate_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import SESSION_GAP, session_bounce_rate
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    g = int(SESSION_GAP)
+    # user 1: two events close together (1 session, no bounce), then one
+    # isolated event after the gap (1 bounce session)
+    # user 2: one lone event (bounce)
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1), (2, 1, "view", 60, 1),
+            (3, 1, "view", 60 + g + 1, 1),
+            (4, 2, "view", 0, 1),
+        ],
+    )
+    out = session_bounce_rate(str(d)).iloc[0]
+    assert (out.n_sessions, out.n_bounces) == (3, 2)
+    assert out.bounce_rate == round(2 / 3, 6)
