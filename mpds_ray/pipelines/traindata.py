@@ -634,6 +634,173 @@ FROM rk GROUP BY doc_id
 """
 
 
+CURATE_MIN_WORDS = 20
+
+
+def curate_corpus(sf_dir: str, num_buckets: int = 8):
+    """The canonical end-to-end corpus-curation pipeline as ONE scale-safe
+    composition — keep a doc iff it survives ALL of: exact dedup (first
+    doc_id per identical text), length quality (>= CURATE_MIN_WORDS words),
+    benchmark decontamination (zero trigram-shingle overlap with the
+    blocklist union; blocklist docs themselves excluded), and the
+    deterministic stratified sampling rule — then report per-source kept
+    counts and kept word totals.
+
+    Shape: the dedup keep-set never lands on the driver — the text-hash
+    exchange's per-bucket winners re-exchange BY doc_id (rebucket_refs) and
+    join the per-doc flag rows (one pruned scan computing quality/decon/
+    sample flags map-side, exchanged on the same doc_id buckets); each
+    bucket emits per-source partial sums, so the driver folds
+    |sources| × buckets rows. Blocklist shingles broadcast once (bounded
+    by BLOCKLIST_DOCS)."""
+    import pyarrow.dataset as pds
+    import ray
+
+    from ..stages.exchange import exchange_map
+    from ..stages.hashjoin import exchange_join_refs, rebucket_refs
+    from ..stages.partition import stable_bucket
+    from .common import shard_list, tpath
+
+    shards = shard_list(sf_dir, "documents")
+
+    # --- blocklist shingle union (bounded driver read, broadcast once;
+    # pyarrow.dataset handles the single-file AND sharded-dir layouts) -----
+    block = pds.dataset(tpath(sf_dir, "documents")).to_table(
+        columns=["doc_id", "text", "source"],
+        filter=pds.field("doc_id") < BLOCKLIST_DOCS,
+    )
+    u, _offs, _ids = _doc_shingle_sets(block)
+    block_ref = ray.put(np.unique(u))
+
+    # --- exchange 1: exact-dedup winners on hash(text) ----------------------
+    def hash_map(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["text"].to_pandas(), index=False
+        ).astype("uint64")
+        return pa.table(
+            {"text_hash": pa.array(h.astype("int64")), "doc_id": t["doc_id"]}
+        )
+
+    def bucket_hash(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["text_hash"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    h_grid = exchange_map(
+        shards, hash_map, bucket_hash, num_buckets, columns=["doc_id", "text"]
+    )
+
+    @ray.remote
+    def keep_bucket(*parts) -> pa.Table:
+        ps = [p for p in parts if p is not None and p.num_rows]
+        if not ps:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        g = (
+            pa.concat_tables(ps)
+            .to_pandas()
+            .groupby("text_hash", sort=False)["doc_id"]
+            .min()
+        )
+        return pa.table({"doc_id": pa.array(g.to_numpy(), pa.int64())})
+
+    keep_refs = [
+        keep_bucket.remote(*[h_grid[s][b] for s in range(len(shards))])
+        for b in range(num_buckets)
+    ]
+    keep_grid = rebucket_refs(keep_refs, "doc_id", num_buckets)
+
+    # --- exchange 2: per-doc flag rows on doc_id ----------------------------
+    def flags_map(t: pa.Table) -> pa.Table:
+        bset = ray.get(block_ref)
+        uu, offs, doc_ids = _doc_shingle_sets(t)
+        seg = np.repeat(np.arange(doc_ids.size, dtype=np.int64), np.diff(offs))
+        n_shared = np.bincount(seg[np.isin(uu, bset)], minlength=doc_ids.size)
+        flat, toffs = _flat_tokens(tokenize_batch(t))
+        n_words = np.diff(toffs)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        pct = np.where(
+            np.isin(src, np.asarray(SAMPLE_HEAVY_SOURCES)),
+            SAMPLE_HEAVY_PCT,
+            SAMPLE_LIGHT_PCT,
+        )
+        ok = (
+            (doc_ids >= BLOCKLIST_DOCS)
+            & (n_shared == 0)
+            & (n_words >= CURATE_MIN_WORDS)
+            & ((doc_ids * 2654435761) % 100 < pct)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "source": t["source"],
+                "n_words": pa.array(n_words),
+                "ok": pa.array(ok),
+            }
+        )
+
+    def bucket_doc(t: pa.Table) -> np.ndarray:
+        return stable_bucket(
+            t["doc_id"].to_numpy(zero_copy_only=False), num_buckets
+        )
+
+    f_grid = exchange_map(
+        shards, flags_map, bucket_doc, num_buckets,
+        columns=["doc_id", "text", "source"],
+    )
+
+    def join_flags(b: int, keep: pa.Table, flags: pa.Table) -> pd.DataFrame:
+        kd = keep.to_pandas()
+        fd = flags.to_pandas()
+        fd = fd[fd["ok"] & fd["doc_id"].isin(kd["doc_id"])]
+        return fd.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_words_kept=("n_words", "sum")
+        )
+
+    parts = exchange_join_refs(keep_grid, f_grid, join_flags, num_buckets)
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype=object),
+            "n_docs": pd.Series(dtype=np.int64),
+            "n_words_kept": pd.Series(dtype=np.int64),
+        }
+    )
+    if not len(parts):
+        return empty
+    out = parts.groupby("source", as_index=False)[["n_docs", "n_words_kept"]].sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_words_kept"] = out["n_words_kept"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+CURATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, text, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id, source, text, len(tokens) AS n_words,
+         list_distinct({_SHINGLES_SQL}) AS shingles
+  FROM tok
+), block AS (
+  SELECT list_distinct(flatten(list(shingles))) AS b
+  FROM sh WHERE doc_id < {BLOCKLIST_DOCS}
+), dedup AS (
+  SELECT min(doc_id) AS keep_id FROM documents GROUP BY text
+), kept AS (
+  SELECT s.source, s.n_words
+  FROM sh s, block
+  WHERE s.doc_id IN (SELECT keep_id FROM dedup)
+    AND s.doc_id >= {BLOCKLIST_DOCS}
+    AND len(list_intersect(s.shingles, b)) = 0
+    AND s.n_words >= {CURATE_MIN_WORDS}
+    AND (s.doc_id * 2654435761) % 100 <
+        CASE WHEN s.source IN {SAMPLE_HEAVY_SOURCES!r}
+             THEN {SAMPLE_HEAVY_PCT} ELSE {SAMPLE_LIGHT_PCT} END
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words_kept
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "decontaminate": decontaminate,
@@ -642,6 +809,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "dup_clusters": dup_clusters,
     "dedup_passages": dedup_passages,
+    "curate_corpus": curate_corpus,
 }
 
 ORACLE = {
@@ -652,4 +820,5 @@ ORACLE = {
     "pack_sequences": PACK_SQL,
     "dup_clusters": DUP_CLUSTERS_SQL,
     "dedup_passages": DEDUP_PASSAGES_SQL,
+    "curate_corpus": CURATE_SQL,
 }

@@ -164,3 +164,76 @@ class TestDedupPassages:
         a = dedup_passages(sf, num_buckets=1)
         b = dedup_passages(sf, num_buckets=16)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCurateCorpus:
+    def test_each_filter_bites(self, ray_session, tmp_path):
+        """A corpus planted so every filter drops at least one doc: a dup
+        pair (later id dropped), a short doc, a contaminated doc (shares a
+        blocklist trigram), and the sampling rule; survivors' per-source
+        counts and word totals match a pandas replay of the same rules."""
+        from mpds_ray.pipelines.traindata import (
+            BLOCKLIST_DOCS,
+            CURATE_MIN_WORDS,
+            SAMPLE_HEAVY_PCT,
+            SAMPLE_HEAVY_SOURCES,
+            SAMPLE_LIGHT_PCT,
+            curate_corpus,
+        )
+
+        # The stand-in tokenizer hashes (first byte, length) only — so give
+        # every doc its OWN first character (all words of doc d start with
+        # c_d, lengths vary by position): cross-doc trigrams can then match
+        # ONLY for the planted full copy, never by accident
+        def long(ch):
+            return " ".join(ch * (j + 2) for j in range(CURATE_MIN_WORDS + 10))
+
+        chars = [chr(48 + i) for i in range(45)]  # '0'..'\\' distinct bytes
+        block_text = long(chars[0])
+        texts, sources = [], []
+        # blocklist ids 0..19
+        for i in range(BLOCKLIST_DOCS):
+            texts.append(block_text if i == 0 else long(chars[i]))
+            sources.append("src0")
+        # corpus docs 20..39
+        dup = long(chars[20])
+        for i in range(20):
+            if i == 0 or i == 1:
+                texts.append(dup)            # dup pair: 21 drops
+            elif i == 2:
+                texts.append("too short")    # quality drop
+            elif i == 3:
+                texts.append(block_text)     # contaminated drop
+            else:
+                texts.append(long(chars[21 + i]))
+            sources.append("src0" if i % 2 == 0 else "src9")
+        sf = _write_docs(tmp_path, texts, sources)
+        out = curate_corpus(sf, num_buckets=4)
+
+        # pandas replay of the four rules
+        df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts,
+                           "source": sources})
+        df["n_words"] = df.text.str.split(" ").str.len()
+        keep_ids = df.groupby("text").doc_id.min()
+        blk = set(texts[i] for i in range(BLOCKLIST_DOCS))
+        def contaminated(t):
+            return t in blk  # full-text match implies shared trigrams here
+        pct = df.source.isin(SAMPLE_HEAVY_SOURCES).map(
+            {True: SAMPLE_HEAVY_PCT, False: SAMPLE_LIGHT_PCT})
+        m = (
+            df.doc_id.isin(keep_ids)
+            & (df.doc_id >= BLOCKLIST_DOCS)
+            & ~df.text.map(contaminated)
+            & (df.n_words >= CURATE_MIN_WORDS)
+            & ((df.doc_id * 2654435761) % 100 < pct)
+        )
+        exp = (
+            df[m].groupby("source")
+            .agg(n_docs=("doc_id", "size"), n_words_kept=("n_words", "sum"))
+            .reset_index()
+        )
+        got = out.set_index("source")
+        for _, r in exp.iterrows():
+            assert got.loc[r.source, "n_docs"] == r.n_docs
+            assert got.loc[r.source, "n_words_kept"] == r.n_words_kept
+        assert int(out.n_docs.sum()) == int(m.sum())
