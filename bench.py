@@ -59,6 +59,7 @@ BENCH_QUERIES = (
     "unigram_logprob",
     "hourly_user_value_grid",
     "customer_order_distribution",
+    "curate_corpus",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot
