@@ -913,6 +913,64 @@ def view_purchase_transitions(sf_dir: str):
     return _per_bucket_events(sf_dir, ["event_type"], fn)
 
 
+def event_transition_matrix(sf_dir: str):
+    """Full first-order Markov transition matrix over per-user event
+    streams: count of (current → next) event-type pairs in (ts, event_id)
+    order, plus each row's conditional probability P(next | current). One
+    shifted pair join over the sorted bucket (entity boundaries masked),
+    a bincount over the composite pair index — partials are
+    |types|²-bounded per bucket and the probability is the same int/int
+    double division in Ray and SQL."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        if n < 2:
+            return pd.DataFrame({"cur_type": [], "next_type": [], "n": []})
+        same = u[1:] == u[:-1]
+        cur, nxt = et[:-1][same], et[1:][same]
+        if cur.size == 0:
+            return pd.DataFrame({"cur_type": [], "next_type": [], "n": []})
+        types, inv_c = np.unique(cur, return_inverse=True)
+        types2, inv_n = np.unique(nxt, return_inverse=True)
+        # composite index over the bucket-local type vocabularies
+        code = inv_c * types2.size + inv_n
+        cnt = np.bincount(code, minlength=types.size * types2.size)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "cur_type": types[nz // types2.size],
+                "next_type": types2[nz % types2.size],
+                "n": cnt[nz].astype(np.int64),
+            }
+        )
+
+    parts = _per_bucket_events(sf_dir, ["event_type"], fn)
+    out = parts.groupby(["cur_type", "next_type"], as_index=False)["n"].sum()
+    row_tot = out.groupby("cur_type")["n"].transform("sum")
+    out["p_next"] = np.round(out["n"] / row_tot, 6)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["cur_type", "next_type"]).reset_index(drop=True)
+
+
+TRANSITION_MATRIX_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), p AS (
+  SELECT event_type AS cur_type, next_type, count(*) AS n
+  FROM e WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT cur_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY cur_type), 6) AS p_next
+FROM p ORDER BY cur_type, next_type
+"""
+
+
 TRANSITIONS_SQL = """
 WITH e AS (
   SELECT user_id, event_type,
@@ -1734,6 +1792,70 @@ GROUP BY p.event_id, p.user_id
 """
 
 
+def top_users_with_ties(sf_dir: str, k: int = 3, num_buckets: int = 8):
+    """Grouped top-k WITH TIES (RANK() <= k semantics — every user tied at
+    the k-th event count is kept, unlike the row-limited variant). Counts
+    per (type, user) ride the user-hash exchange (bucket-complete), and the
+    per-bucket prune keeps bucket-RANK <= k: a user's bucket rank is a
+    LOWER bound on their global rank (other buckets only push ranks down),
+    so the pruned union is a superset of the global winners and the driver
+    re-ranks k-plus-ties × types × buckets rows, never the user domain."""
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "events")
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["event_type", "user_id"])
+            .to_pandas()
+            .groupby(["event_type", "user_id"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        g = (
+            tbl.to_pandas()
+            .groupby(["event_type", "user_id"], sort=False, as_index=False)["n"]
+            .sum()
+        )
+        rank = g.groupby("event_type")["n"].rank(method="min", ascending=False)
+        return g[rank <= k]
+
+    out = hash_exchange(shards, map_fn, "user_id", num_buckets, reduce_fn,
+                        columns=["event_type", "user_id"])
+    rank = out.groupby("event_type")["n"].rank(method="min", ascending=False)
+    out = out[rank <= k].copy()
+    out["n"] = out["n"].astype(np.int64)
+    out["n_rank"] = (
+        out.groupby("event_type")["n"]
+        .rank(method="min", ascending=False)
+        .astype(np.int64)
+    )
+    return out.sort_values(
+        ["event_type", "n", "user_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+TOP_TIES_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, CAST(rank() OVER (PARTITION BY event_type ORDER BY n DESC)
+                 AS BIGINT) AS n_rank
+  FROM c
+)
+SELECT event_type, user_id, n, n_rank
+FROM r WHERE n_rank <= 3
+ORDER BY event_type, n DESC, user_id
+"""
+
+
 def top_users_per_event_type(sf_dir: str, k: int = 3, num_buckets: int = 8):
     """Grouped top-k: per event type, the k users with the largest total
     value. Two-level distributed shape: map tasks pre-aggregate
@@ -1939,6 +2061,8 @@ QUERIES = {
     "session_bounce_rate": session_bounce_rate,
     "hopping_window_stats": hopping_window_stats,
     "view_purchase_transitions": view_purchase_transitions,
+    "event_transition_matrix": event_transition_matrix,
+    "top_users_with_ties": top_users_with_ties,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
     "user_set_ops": user_set_ops,
@@ -1983,6 +2107,8 @@ ORACLE = {
     "session_bounce_rate": BOUNCE_SQL,
     "hopping_window_stats": HOPPING_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
+    "event_transition_matrix": TRANSITION_MATRIX_SQL,
+    "top_users_with_ties": TOP_TIES_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,
     "time_since_prev_event": SINCE_PREV_SQL,

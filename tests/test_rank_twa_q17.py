@@ -391,3 +391,45 @@ def test_session_bounce_rate_hand_values(ray_session, tmp_path):
     out = session_bounce_rate(str(d)).iloc[0]
     assert (out.n_sessions, out.n_bounces) == (3, 2)
     assert out.bounce_rate == round(2 / 3, 6)
+
+
+def test_event_transition_matrix_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import event_transition_matrix
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1: view->view->purchase; user 2: purchase->view
+    # boundary between users must not create a pair
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1), (2, 1, "view", 1, 1), (3, 1, "purchase", 2, 1),
+            (4, 2, "purchase", 0, 1), (5, 2, "view", 1, 1),
+        ],
+    )
+    out = event_transition_matrix(str(d))
+    got = {(c, x): (n, p) for c, x, n, p in out.itertuples(index=False)}
+    assert got == {
+        ("purchase", "view"): (1, 1.0),
+        ("view", "purchase"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+    }
+
+
+def test_top_users_with_ties_keeps_ties(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import top_users_with_ties
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # view counts: u1=3, u2=2, u3=2, u4=2, u5=1 -> rank()<=3 keeps u1..u4
+    # (the three users tied at rank 2 ALL stay; u5 at rank 5 drops)
+    rows, eid = [], 1
+    for u, cnt in [(1, 3), (2, 2), (3, 2), (4, 2), (5, 1)]:
+        for j in range(cnt):
+            rows.append((eid, u, "view", eid, 1.0))
+            eid += 1
+    _write_events(d, rows)
+    out = top_users_with_ties(str(d), k=3)
+    assert set(out.user_id) == {1, 2, 3, 4}
+    got = dict(zip(out.user_id, out.n_rank))
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2}
