@@ -818,7 +818,14 @@ def hourly_user_value_grid(sf_dir: str):
 
 
 GRID_SQL = """
-WITH e AS (SELECT user_id, epoch(ts) AS ts, value FROM events),
+WITH e AS (
+  -- pin the duplicate-(user, ts) tie the way the engine resolves it:
+  -- merge_asof takes the LAST row among equal timestamps, which after the
+  -- bucket's stable (user, ts, event_id) sort is the max-event_id row;
+  -- a bare ASOF JOIN picks an unspecified tie, so dedupe with arg_max
+  SELECT user_id, epoch(ts) AS ts, arg_max(value, event_id) AS value
+  FROM events GROUP BY user_id, epoch(ts)
+),
 b AS (
   SELECT user_id, CAST(ceil(min(ts) / 3600.0) AS BIGINT) AS g0,
          CAST(floor(max(ts) / 3600.0) AS BIGINT) AS g1

@@ -775,9 +775,18 @@ def monthly_revenue_cumshare(sf_dir: str, num_buckets: int = 16):
     # driver fold + window bounded by distinct months
     out = out.groupby("month", as_index=False)["rev_i"].sum()
     out = out.sort_values("month").reset_index(drop=True)
-    cum = out["rev_i"].cumsum()  # exact int64
-    total = int(out["rev_i"].sum())
-    out["cum_share"] = np.round(cum.to_numpy() / total, 6)
+    # Python-int accumulate, NOT int64 cumsum: per-month rev_i is ~2.2e15
+    # per TPC-H SF unit, so an int64 running total wraps silently around
+    # SF ~4,000 while the oracle's sum(BIGINT) promotes to HUGEINT —
+    # arbitrary-precision ints keep the share exact at any scale (the
+    # fold is months-bounded, so the driver cost is nil)
+    import itertools
+
+    cum = np.fromiter(
+        itertools.accumulate(int(x) for x in out["rev_i"]), dtype=np.float64
+    )
+    total = float(sum(int(x) for x in out["rev_i"]))
+    out["cum_share"] = np.round(cum / total, 6)
     out["revenue"] = out.pop("rev_i") / 10000.0
     return out[["month", "revenue", "cum_share"]]
 

@@ -712,11 +712,17 @@ def curate_corpus(sf_dir: str, num_buckets: int = 8):
     # --- exchange 2: per-doc flag rows on doc_id ----------------------------
     def flags_map(t: pa.Table) -> pa.Table:
         bset = ray.get(block_ref)
-        uu, offs, doc_ids = _doc_shingle_sets(t)
+        # tokenize ONCE: shingle sets and word counts both derive from the
+        # same flat token array (tokenization dominates the text-scan cost)
+        tok = tokenize_batch(t)
+        flat, toffs = _flat_tokens(tok)
+        n_words = np.diff(toffs)
+        sh, sh_offs = _shingles_flat(flat, toffs)
+        uu, _seg_ids, n_uniq = _unique_per_segment(sh, sh_offs)
+        offs = np.r_[0, np.cumsum(n_uniq)]
+        doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False)
         seg = np.repeat(np.arange(doc_ids.size, dtype=np.int64), np.diff(offs))
         n_shared = np.bincount(seg[np.isin(uu, bset)], minlength=doc_ids.size)
-        flat, toffs = _flat_tokens(tokenize_batch(t))
-        n_words = np.diff(toffs)
         src = t["source"].to_numpy(zero_copy_only=False)
         pct = np.where(
             np.isin(src, np.asarray(SAMPLE_HEAVY_SOURCES)),

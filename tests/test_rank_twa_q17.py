@@ -433,3 +433,36 @@ def test_top_users_with_ties_keeps_ties(ray_session, tmp_path):
     assert set(out.user_id) == {1, 2, 3, 4}
     got = dict(zip(out.user_id, out.n_rank))
     assert got == {1: 1, 2: 2, 3: 2, 4: 2}
+
+
+def test_hourly_grid_duplicate_ts_tie_pinned(ray_session, tmp_path):
+    """Two events at the IDENTICAL (user, ts): the engine's merge_asof takes
+    the max-event_id row (last among equal ts after the stable bucket sort);
+    the oracle pins the same choice via arg_max — both must return v=9."""
+    import duckdb
+
+    from mpds_ray.pipelines.eventspipe import GRID_SQL, hourly_user_value_grid
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    h = 3600
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1.0),
+            (2, 1, "view", h, 3.0),   # duplicate ts pair at the grid point
+            (3, 1, "view", h, 9.0),
+            (4, 1, "view", h + 10, 5.0),
+        ],
+    )
+    out = hourly_user_value_grid(str(d))
+    got = {int(t): v for t, v in zip(out.grid_ts, out.value)}
+    base = pd.Timestamp("2024-01-01").value // 1000 // 1_000_000
+    assert got == {base: 1.0, base + h: 9.0}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    exp = con.execute(GRID_SQL).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True),
+        check_dtype=False,
+    )
