@@ -920,6 +920,51 @@ def view_purchase_transitions(sf_dir: str):
     return _per_bucket_events(sf_dir, ["event_type"], fn)
 
 
+def write_events_partitioned(sf_dir: str, out_root: str = "/tmp/mpds_sink_gate"):
+    """Gate the RESUMABLE SINK itself through the oracle: partition events
+    by event_type, write each partition through the atomic manifest sink
+    (S2 + S3), then answer FROM THE MANIFEST — per-type row counts as the
+    lineage recorded them. The DuckDB oracle recounts from the raw table,
+    so a green row proves the written lineage matches the source exactly.
+    Each run writes to a fresh scratch dir (the resume-skip path is
+    pytest-covered in test_ray_pipeline); partition files are one per type,
+    atomic-rename committed."""
+    import shutil
+    import uuid
+
+    from ..state.manifest import Manifest, write_partitioned_resumable
+
+    out_dir = f"{out_root}/{uuid.uuid4().hex}"
+    manifest_path = f"{out_dir}/manifest.jsonl"
+    ev = read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_bucket=b["event_type"])
+
+    recs = write_partitioned_resumable(
+        ev.map_batches(tag, batch_format="pandas"),
+        out_dir,
+        "sink_gate",
+        manifest_path,
+    )
+    recs.materialize()  # drive the write; result itself comes from lineage
+    rows = Manifest(manifest_path).records()
+    out = pd.DataFrame(
+        {
+            "event_type": [r["partition_id"] for r in rows],
+            "n_rows": np.array([r["row_count"] for r in rows], dtype=np.int64),
+        }
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SINK_GATE_SQL = """
+SELECT event_type, count(*) AS n_rows FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def event_transition_matrix(sf_dir: str):
     """Full first-order Markov transition matrix over per-user event
     streams: count of (current → next) event-type pairs in (ts, event_id)
@@ -2069,6 +2114,7 @@ QUERIES = {
     "hopping_window_stats": hopping_window_stats,
     "view_purchase_transitions": view_purchase_transitions,
     "event_transition_matrix": event_transition_matrix,
+    "write_events_partitioned": write_events_partitioned,
     "top_users_with_ties": top_users_with_ties,
     "first_event_per_user": first_event_per_user,
     "latest_event_per_user_type": latest_event_per_user_type,
@@ -2115,6 +2161,7 @@ ORACLE = {
     "hopping_window_stats": HOPPING_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
     "event_transition_matrix": TRANSITION_MATRIX_SQL,
+    "write_events_partitioned": SINK_GATE_SQL,
     "top_users_with_ties": TOP_TIES_SQL,
     "user_set_ops": SET_OPS_SQL,
     "sliding_window_mean": SLIDING_SQL,
