@@ -17,6 +17,20 @@ from .text import _splitmix64
 K = 10
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """embedding column -> (n, d) float64 matrix WITHOUT a per-row Python
+    loop: Arrow list columns flatten + reshape (vectors are fixed-dim);
+    pandas object columns (small driver-side frames only) fall back to
+    np.stack."""
+    import pyarrow as pa
+
+    if isinstance(col, (pa.ChunkedArray, pa.Array)):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(arr), -1)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     """Deterministic query = the embedding of vec_id 0 (both sides agree)."""
     df = read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -30,10 +44,11 @@ def knn_cosine_top10(sf_dir: str):
     qn = q / np.linalg.norm(q)
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+    def score(b) -> pd.DataFrame:
+        m = _emb_matrix(b["embedding"])
         sims = (m @ qn) / np.linalg.norm(m, axis=1)
-        out = pd.DataFrame({"vec_id": b["vec_id"], "cos_sim": np.round(sims, 6)})
+        out = pd.DataFrame({"vec_id": b["vec_id"].to_numpy(zero_copy_only=False),
+                            "cos_sim": np.round(sims, 6)})
         out = out[out["vec_id"] != 0]
         # tie-aware partial top-k per batch (full final key — a rank-10
         # cos_sim tie must keep the lower vec_id, like the driver root)
@@ -42,7 +57,7 @@ def knn_cosine_top10(sf_dir: str):
         ).head(K)
 
     return topk_driver(
-        emb.map_batches(score, batch_format="pandas"),
+        emb.map_batches(score, batch_format="pyarrow"),
         K, ["cos_sim", "vec_id"], [False, True],
     )
 
@@ -79,7 +94,7 @@ def _embedding_sample(sf_dir: str, target: int = 2048) -> np.ndarray:
     # bound: ~target rows by the hash-slice construction
     df = bounded_to_pandas(emb.map_batches(pick, batch_format="pandas"), "embedding_sample")
     df = df.sort_values("vec_id")  # block order is not deterministic; sort is
-    return np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return _emb_matrix(df["embedding"])
 
 
 def knn_ivf_top10(sf_dir: str, n_cells: int = 8, n_probe: int = 2):
@@ -103,20 +118,21 @@ def knn_ivf_top10(sf_dir: str, n_cells: int = 8, n_probe: int = 2):
     probe = np.argsort(-(cent @ qn))[:n_probe]
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        mm = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+    def score(b) -> pd.DataFrame:
+        mm = _emb_matrix(b["embedding"])
         mm_n = mm / np.linalg.norm(mm, axis=1, keepdims=True)
         cells = (mm_n @ cent.T).argmax(axis=1)
-        keep = np.isin(cells, probe) & (b["vec_id"].to_numpy() != 0)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(cells, probe) & (ids != 0)
         sims = mm_n[keep] @ qn
-        out = pd.DataFrame({"vec_id": b["vec_id"].to_numpy()[keep], "cos_sim": np.round(sims, 6)})
+        out = pd.DataFrame({"vec_id": ids[keep], "cos_sim": np.round(sims, 6)})
         # tie-aware partial top-k (full final key, see knn_cosine_top10)
         return out.sort_values(
             ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
         ).head(K)
 
     return topk_driver(
-        emb.map_batches(score, batch_format="pandas"),
+        emb.map_batches(score, batch_format="pyarrow"),
         K, ["cos_sim", "vec_id"], [False, True],
     )
 
@@ -126,19 +142,23 @@ def label_centroid_sims(sf_dir: str):
     global mean — grouped vector aggregation with a SQL oracle."""
     emb = read(sf_dir, "embeddings", columns=["label", "embedding"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
-        out = []
-        for lbl, idx in b.groupby("label").indices.items():
-            s = m[idx].sum(axis=0)
-            out.append({"label": lbl, "n": len(idx), "vsum": s})
-        return pd.DataFrame(out)
+    def partial(b) -> pd.DataFrame:
+        m = _emb_matrix(b["embedding"])
+        lbl = b["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lbl, kind="stable")
+        ls = lbl[order]
+        starts = np.r_[0, np.flatnonzero(ls[1:] != ls[:-1]) + 1]
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        counts = np.diff(np.append(starts, ls.size))
+        return pd.DataFrame(
+            {"label": ls[starts], "n": counts, "vsum": list(sums)}
+        )
 
     from .common import bounded_to_pandas
 
     # bound: label domain x blocks (vector partial sums, not rows)
     parts = bounded_to_pandas(
-        emb.map_batches(partial, batch_format="pandas"), "label_centroid_partials"
+        emb.map_batches(partial, batch_format="pyarrow"), "label_centroid_partials"
     )
     agg = parts.groupby("label").apply(
         lambda g: pd.Series({"n": g["n"].sum(), "vsum": np.sum(np.stack(g["vsum"].to_numpy()), axis=0)}),
@@ -207,24 +227,30 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.45):
 
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def norm(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+    def norm(b) -> pd.DataFrame:
+        m = _emb_matrix(b["embedding"])
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(), "nvec": list(m)})
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].to_numpy(zero_copy_only=False), "nvec": list(m)}
+        )
 
-    blocks = emb.map_batches(norm, batch_format="pandas", batch_size=4096).materialize()
+    blocks = emb.map_batches(norm, batch_format="pyarrow", batch_size=4096).materialize()
     refs = [r for bundle in blocks.iter_internal_ref_bundles() for r in bundle.block_refs]
+
+    def _ids_matrix(t):
+        # blocks may be pa.Table or pd.DataFrame depending on the map format
+        if isinstance(t, pd.DataFrame):
+            return t["vec_id"].to_numpy(), _emb_matrix(t["nvec"])
+        return (
+            t["vec_id"].to_numpy(zero_copy_only=False),
+            _emb_matrix(t["nvec"]),
+        )
 
     @ray.remote
     def pair_task(ta, tb, same: bool) -> pd.DataFrame:
-        # blocks may be pa.Table or pd.DataFrame depending on the map format
-        da = ta.to_pandas() if hasattr(ta, "to_pandas") else ta
-        db = tb.to_pandas() if hasattr(tb, "to_pandas") else tb
-        ma = np.stack(da["nvec"].to_numpy())
-        mb = ma if same else np.stack(db["nvec"].to_numpy())
-        return _pairs_from_sims(
-            da["vec_id"].to_numpy(), db["vec_id"].to_numpy(), ma @ mb.T, threshold, same
-        )
+        ia, ma = _ids_matrix(ta)
+        ib, mb = (ia, ma) if same else _ids_matrix(tb)
+        return _pairs_from_sims(ia, ib, ma @ mb.T, threshold, same)
 
     out = [
         pair_task.remote(refs[i], refs[j], i == j)
@@ -274,15 +300,16 @@ def embedding_near_dups_lsh(
     planes = np.stack([rng.normal(size=(dim, n_bits)) for _ in range(n_tables)])
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
-    def codes(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+    def codes(b) -> pd.DataFrame:
+        m = _emb_matrix(b["embedding"])
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         # (n, n_tables) codes in one shot: n x (T*bits) matmul, sign, pack
         bits = (np.einsum("nd,tdb->ntb", m, planes) > 0) @ weights
+        n = len(m)
         rows = {
-            "table": np.repeat(np.arange(n_tables, dtype=np.int64), len(b)),
+            "table": np.repeat(np.arange(n_tables, dtype=np.int64), n),
             "code": bits.T.reshape(-1),
-            "vec_id": np.tile(b["vec_id"].to_numpy(), n_tables),
+            "vec_id": np.tile(b["vec_id"].to_numpy(zero_copy_only=False), n_tables),
         }
         return pd.DataFrame(rows)
 
@@ -297,7 +324,7 @@ def embedding_near_dups_lsh(
     from .common import bounded_to_pandas
 
     cand = bounded_to_pandas(
-        emb.map_batches(codes, batch_format="pandas")
+        emb.map_batches(codes, batch_format="pyarrow")
         .groupby(["table", "code"])
         .map_groups(bucket_pairs, batch_format="pandas"),
         "lsh_candidate_pairs",  # bound: output-scale (max_bucket caps blowup)
