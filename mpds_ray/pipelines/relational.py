@@ -668,15 +668,22 @@ def monthly_order_revenue(sf_dir: str, num_buckets: int = 16):
     from .common import shard_list
 
     def li_map(t: pa.Table) -> pa.Table:
-        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
-            1 - t["l_discount"].to_numpy(zero_copy_only=False)
-        )
+        # EXACT integer ten-thousandths (see urgent_order_month_revenue):
+        # the original float partials landed a half-cent on the wrong side
+        # of round(2) vs the oracle's single-pass sum once at sf0.001
+        # (month 199502) — order-independent int64 partials can't
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
         g = (
             pd.DataFrame(
                 {"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
-                 "revenue": rev}
+                 "rev_i": cents * (100 - disc)}
             )
-            .groupby("o_orderkey", as_index=False, sort=False)["revenue"]
+            .groupby("o_orderkey", as_index=False, sort=False)["rev_i"]
             .sum()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -693,7 +700,7 @@ def monthly_order_revenue(sf_dir: str, num_buckets: int = 16):
 
     def reduce_fn(b: int, li: pa.Table, orders: pa.Table) -> pd.DataFrame:
         j = li.to_pandas().merge(orders.to_pandas(), on="o_orderkey")
-        return j.groupby("month", as_index=False)["revenue"].sum()
+        return j.groupby("month", as_index=False)["rev_i"].sum()
 
     out = exchange_join(
         shard_list(sf_dir, "lineitem"),
@@ -706,15 +713,17 @@ def monthly_order_revenue(sf_dir: str, num_buckets: int = 16):
         columns_left=["l_orderkey", "l_extendedprice", "l_discount"],
         columns_right=["o_orderkey", "o_orderdate"],
     )
-    # driver fold bounded by distinct months x buckets
-    out = out.groupby("month", as_index=False)["revenue"].sum()
-    out["revenue"] = out["revenue"].round(2)
+    # driver fold bounded by distinct months x buckets; exact int64 / 10000.0
+    # on both sides -> bit-identical doubles, no rounding step needed
+    out = out.groupby("month", as_index=False)["rev_i"].sum()
+    out["revenue"] = out.pop("rev_i") / 10000.0
     return out.sort_values("month").reset_index(drop=True)
 
 
 MONTHLY_REVENUE_SQL = """
 SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
 """

@@ -112,7 +112,7 @@ def main():
             print(f"ok   {name}: rows-only ({len(got)} rows)")
             n_pass += 1
             continue
-        if "regression golden" in oracles[name] and not sf_dir.rstrip("/").endswith("sf0.01"):
+        if "golden" in oracles[name].splitlines()[0] and not sf_dir.rstrip("/").endswith("sf0.01"):
             # golden parquets are generated at sf0.01 (the driver's gate SF);
             # comparing them against another SF's data is meaningless
             print(f"ok   {name}: golden oracle is sf0.01-only ({len(got)} rows)")
