@@ -965,6 +965,48 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def user_activity_entropy(sf_dir: str):
+    """Shannon entropy (bits) of each user's event-type distribution — the
+    W2 discrete-entropy kernel surfaced as a gated per-entity query. One
+    composite bincount per bucket ((user_rank, type_rank) pairs), then the
+    -Σ p·log2(p) fold per user row — all segment arithmetic, no per-user
+    loop. Matches the DuckDB replica with the same epsilon guard and 6-dp
+    round (log2 libm ulps)."""
+    eps = 2.220446049250313e-16
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(u) == 0:
+            return pd.DataFrame({"user_id": [], "type_entropy": []})
+        uu, uinv = np.unique(u, return_inverse=True)
+        tt, tinv = np.unique(et, return_inverse=True)
+        cnt = np.bincount(uinv * tt.size + tinv, minlength=uu.size * tt.size)
+        cnt = cnt.reshape(uu.size, tt.size).astype(np.float64)
+        tot = cnt.sum(axis=1, keepdims=True)
+        p = cnt / tot
+        ent = -(np.where(cnt > 0, p * np.log2(p + eps), 0.0)).sum(axis=1)
+        return pd.DataFrame(
+            {"user_id": uu, "type_entropy": np.round(ent, 6)}
+        )
+
+    return _per_bucket_events(sf_dir, ["event_type"], fn)
+
+
+ACTIVITY_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), p AS (
+  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n FROM c
+)
+SELECT user_id,
+       round(-sum((c * 1.0 / n)
+                  * log2(c * 1.0 / n + 2.220446049250313e-16)), 6)
+         AS type_entropy
+FROM p GROUP BY user_id ORDER BY user_id
+"""
+
+
 def event_transition_matrix(sf_dir: str):
     """Full first-order Markov transition matrix over per-user event
     streams: count of (current → next) event-type pairs in (ts, event_id)
@@ -2114,6 +2156,7 @@ QUERIES = {
     "hopping_window_stats": hopping_window_stats,
     "view_purchase_transitions": view_purchase_transitions,
     "event_transition_matrix": event_transition_matrix,
+    "user_activity_entropy": user_activity_entropy,
     "write_events_partitioned": write_events_partitioned,
     "top_users_with_ties": top_users_with_ties,
     "first_event_per_user": first_event_per_user,
@@ -2161,6 +2204,7 @@ ORACLE = {
     "hopping_window_stats": HOPPING_SQL,
     "view_purchase_transitions": TRANSITIONS_SQL,
     "event_transition_matrix": TRANSITION_MATRIX_SQL,
+    "user_activity_entropy": ACTIVITY_ENTROPY_SQL,
     "write_events_partitioned": SINK_GATE_SQL,
     "top_users_with_ties": TOP_TIES_SQL,
     "user_set_ops": SET_OPS_SQL,

@@ -466,3 +466,23 @@ def test_hourly_grid_duplicate_ts_tie_pinned(ray_session, tmp_path):
         out.reset_index(drop=True), exp.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_user_activity_entropy_hand_values(ray_session, tmp_path):
+    from mpds_ray.pipelines.eventspipe import user_activity_entropy
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # user 1: 2 view + 2 purchase -> 1 bit; user 2: all view -> 0 bits
+    _write_events(
+        d,
+        [
+            (1, 1, "view", 0, 1), (2, 1, "view", 1, 1),
+            (3, 1, "purchase", 2, 1), (4, 1, "purchase", 3, 1),
+            (5, 2, "view", 0, 1), (6, 2, "view", 1, 1),
+        ],
+    )
+    out = user_activity_entropy(str(d)).sort_values("user_id")
+    got = dict(zip(out.user_id, out.type_entropy))
+    assert got[1] == pytest.approx(1.0, abs=1e-6)
+    assert got[2] == pytest.approx(0.0, abs=1e-6)
