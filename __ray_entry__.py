@@ -59,27 +59,68 @@ def entry() -> Any:
     )
 
 
+# Names that already carry a green driver CORRECTNESS row (rounds 1-3).
+# The driver gate truncates at the first 50 enumerated queries, so entries
+# NOT in this set are enumerated first to rotate fresh surface into the gate
+# each round (VERDICT r3 top item).
+_GATED_BEFORE_R4 = frozenset({
+    "monthly_order_revenue", "monthly_revenue_cumshare",
+    "urgent_order_month_revenue", "q1_pricing_summary", "q3_top_orders",
+    "q5_region_nation_revenue", "large_order_customers",
+    "returned_item_revenue", "nation_pair_trade", "priority_ship_lag_counts",
+    "late_order_priority_counts", "rich_customers_without_orders",
+    "customer_order_distribution", "lineitem_corr_by_flag",
+    "rollup_sales_by_flag_status", "cube_sales_by_flag_status",
+    "part_type_revenue_share", "small_quantity_revenue",
+    "customers_per_region", "top_customers_by_max_order",
+    "distinct_segments", "event_type_counts", "value_quantiles",
+    "value_median_exact", "grouped_value_quantiles",
+    "customers_without_orders", "building_order_stats", "mpds_scaled_orders",
+    "kfold_counts", "user_event_pivot", "value_histogram",
+    "value_quartile_label", "approx_distinct_users", "props_json_stats",
+    "top_users_per_event_type", "sessionize_user_events", "session_funnel",
+    "user_value_lag_lead", "user_mode_event_type", "user_value_percent_rank",
+    "user_time_weighted_value", "user_value_ewma", "event_type_user_reach",
+    "event_type_cooccurrence", "user_value_dense_rank",
+    "user_retention_cohorts", "hourly_user_value_grid",
+    "signup_view_purchase_funnel", "user_median_gap", "session_bounce_rate",
+})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from mpds_ray.pipelines import (
-        dssl_pipe, eventspipe, knn, media, relational, text, traindata,
+        dssl_pipe, eventspipe, flagship, knn, media, relational, text,
+        traindata,
     )
 
+    merged: dict[str, Callable[[str], Any]] = {}
+    merged.update(flagship.QUERIES)
+    merged.update(text.QUERIES)
+    merged.update(knn.QUERIES)
+    merged.update(dssl_pipe.QUERIES)
+    merged.update(media.QUERIES)
+    merged.update(traindata.QUERIES)
+    merged.update(eventspipe.QUERIES)
+    merged.update(relational.QUERIES)
+
     out: dict[str, Callable[[str], Any]] = {}
-    out.update(relational.QUERIES)
-    out.update(eventspipe.QUERIES)
-    out.update(text.QUERIES)
-    out.update(knn.QUERIES)
-    out.update(dssl_pipe.QUERIES)
-    out.update(media.QUERIES)
-    out.update(traindata.QUERIES)
+    for name, fn in merged.items():          # never-gated surface first
+        if name not in _GATED_BEFORE_R4:
+            out[name] = fn
+    for name, fn in merged.items():          # rounds-1-3 green rows last
+        if name in _GATED_BEFORE_R4:
+            out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from mpds_ray.oracle.golden import golden_oracles
-    from mpds_ray.pipelines import eventspipe, knn, relational, text, traindata
+    from mpds_ray.pipelines import (
+        eventspipe, flagship, knn, relational, text, traindata,
+    )
 
     out: dict[str, str] = {}
+    out.update(flagship.ORACLE)
     out.update(relational.ORACLE)
     out.update(eventspipe.ORACLE)
     out.update(text.ORACLE)
