@@ -423,15 +423,31 @@ def value_median_exact(sf_dir: str, driver_cap: int = 1_000_000):
             zero_copy_only=False
         )
         v = v[~np.isnan(v)]
-        return int((v < lo).sum()), np.sort(v[(v >= lo) & (v <= hi)])
+        inside = v[(v >= lo) & (v <= hi)]
+        u, c = np.unique(inside, return_counts=True)
+        return int((v < lo).sum()), u, c.astype(np.int64)
 
     # bounded final collect with exact predicate partitioning: every value
-    # is counted below lo, collected in [lo, hi], or above hi
+    # is counted below lo, weighted-collected in [lo, hi], or above hi.
+    # Shards return (unique value, count) pairs, NOT raw rows — a huge
+    # duplicate mass straddling a multi-ulp window (ADVICE r3: the raw
+    # collect was unbounded exactly then) collapses to a handful of floats;
+    # selection over the merged weighted values is identical arithmetic.
     parts = ray.get([collect_shard.remote(p, lo, hi) for p in shards])
     rank_below = sum(p[0] for p in parts)
-    cand = np.sort(np.concatenate([p[1] for p in parts]))
-    a = cand[k1 - rank_below - 1]
-    b = cand[k2 - rank_below - 1]
+    allu = np.concatenate([p[1] for p in parts])
+    if allu.size > driver_cap:
+        raise RuntimeError(
+            f"value_median_exact: {allu.size:,} distinct in-window values exceed "
+            f"driver_cap {driver_cap:,} after range narrowing — raise the cap or "
+            "add narrowing rounds; refusing an unbounded driver collect"
+        )
+    allc = np.concatenate([p[2] for p in parts])
+    uu, inv = np.unique(allu, return_inverse=True)
+    cc = np.bincount(inv, weights=allc).astype(np.int64)
+    cum = rank_below + np.cumsum(cc)
+    a = uu[np.searchsorted(cum, k1, side="left")]
+    b = uu[np.searchsorted(cum, k2, side="left")]
     return pd.DataFrame({"median_value": [(a + b) / 2.0]})
 
 

@@ -318,7 +318,11 @@ def heavy_hitter_terms(sf_dir: str, k: int = 20, capacity: int = 4096):
     pass 2 broadcasts the candidate set and counts ONLY those terms
     exactly, so the final top-k is EXACT whenever the true k-th frequency
     clears the MG guarantee (capacity >> k; bound pytest-pinned on an
-    adversarial over-capacity stream)."""
+    adversarial over-capacity stream). The guarantee is now VERIFIED, not
+    assumed (ADVICE r3): pass 1 tracks the total token count N, and if the
+    k-th exact candidate count fails to clear the N/(capacity+1) undercount
+    bound the function emits a RuntimeWarning naming the violated condition
+    — callers learn when the result is only approximate."""
     import ray
 
     from .common import shard_list
@@ -331,13 +335,15 @@ def heavy_hitter_terms(sf_dir: str, k: int = 20, capacity: int = 4096):
 
         t = pq.read_table(path, columns=["text"])
         flat, _ = _split_flat_offsets(t["text"])
-        terms, counts = np.unique(
-            np.asarray(flat.to_pandas()), return_counts=True
-        )
-        return _mg_summary(terms, counts.astype(np.int64), capacity)
+        v = np.asarray(flat.to_pandas())
+        terms, counts = np.unique(v, return_counts=True)
+        mg_t, mg_c = _mg_summary(terms, counts.astype(np.int64), capacity)
+        return mg_t, mg_c, int(v.size)
 
     merged: dict[str, int] = {}
-    for terms, counts in ray.get([shard_summary.remote(p) for p in shards]):
+    n_total = 0
+    for terms, counts, n_shard in ray.get([shard_summary.remote(p) for p in shards]):
+        n_total += n_shard
         for t, c in zip(terms, counts):
             merged[t] = merged.get(t, 0) + int(c)
     mt = np.array(list(merged.keys()))
@@ -363,11 +369,27 @@ def heavy_hitter_terms(sf_dir: str, k: int = 20, capacity: int = 4096):
             exact[t] = exact.get(t, 0) + int(c)
     out = pd.DataFrame({"term": list(exact.keys()),
                         "n": np.array(list(exact.values()), dtype=np.int64)})
-    return (
+    out = (
         out.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
         .head(k)
         .reset_index(drop=True)
     )
+    # verify the MG exactness condition against the tracked stream length:
+    # every term with true frequency > N/(capacity+1) is guaranteed in the
+    # candidate set, so the top-k is exact iff the k-th exact candidate
+    # count clears that bound — detectable, so detect it
+    if len(out) and out["n"].iloc[-1] <= n_total / (capacity + 1):
+        import warnings
+
+        warnings.warn(
+            f"heavy_hitter_terms: k-th candidate count {int(out['n'].iloc[-1])} "
+            f"does not clear the Misra-Gries bound N/(capacity+1) = "
+            f"{n_total / (capacity + 1):.1f} (N={n_total}, capacity={capacity}) — "
+            "top-k may be approximate; raise capacity",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return out
 
 
 HEAVY_HITTER_SQL = """

@@ -131,20 +131,24 @@ SAMPLE_LIGHT_PCT = 10
 
 
 def stratified_sample(sf_dir: str):
-    """Keep ``doc`` iff (doc_id * 2654435761) % 100 < pct(source) — 50% for
+    """Keep ``doc`` iff ((doc_id * 2654435761) mod 2^64) mod 100 < pct(source) — 50% for
     the two heavy strata, 10% elsewhere. Pure map-side filter: no shuffle,
     no RNG state, identical selection at any parallelism."""
     docs = read(sf_dir, "documents", columns=["doc_id", "source"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         src = batch["source"].to_numpy(zero_copy_only=False)
         pct = np.where(
             np.isin(src, np.asarray(SAMPLE_HEAVY_SOURCES)),
             SAMPLE_HEAVY_PCT,
             SAMPLE_LIGHT_PCT,
         )
-        keep = (ids * 2654435761) % 100 < pct
+        # uint64 multiply wraps mod 2^64 by construction — the documented
+        # selection rule is ((doc_id * 2654435761) mod 2^64) mod 100, exactly
+        # replicable in SQL via HUGEINT (ADVICE r3: the int64 form wrapped
+        # SILENTLY and differently from the oracle for doc_id >~ 3.47e9)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(100) < pct
         return batch.filter(pa.array(keep))
 
     return docs.map_batches(fn, batch_format="pyarrow")
@@ -152,7 +156,7 @@ def stratified_sample(sf_dir: str):
 
 STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, source FROM documents
-WHERE (doc_id * 2654435761) % 100 <
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616 % 100 <
       CASE WHEN source IN {SAMPLE_HEAVY_SOURCES!r}
            THEN {SAMPLE_HEAVY_PCT} ELSE {SAMPLE_LIGHT_PCT} END
 """
@@ -733,7 +737,8 @@ def curate_corpus(sf_dir: str, num_buckets: int = 8):
             (doc_ids >= BLOCKLIST_DOCS)
             & (n_shared == 0)
             & (n_words >= CURATE_MIN_WORDS)
-            & ((doc_ids * 2654435761) % 100 < pct)
+            & ((doc_ids.astype(np.uint64) * np.uint64(2654435761))
+               % np.uint64(100) < pct)  # mod-2^64 rule, see stratified_sample
         )
         return pa.table(
             {
@@ -797,7 +802,7 @@ WITH tok AS (
     AND s.doc_id >= {BLOCKLIST_DOCS}
     AND len(list_intersect(s.shingles, b)) = 0
     AND s.n_words >= {CURATE_MIN_WORDS}
-    AND (s.doc_id * 2654435761) % 100 <
+    AND (CAST(s.doc_id AS HUGEINT) * 2654435761) % 18446744073709551616 % 100 <
         CASE WHEN s.source IN {SAMPLE_HEAVY_SOURCES!r}
              THEN {SAMPLE_HEAVY_PCT} ELSE {SAMPLE_LIGHT_PCT} END
 )

@@ -38,6 +38,29 @@ import ray
 from .partition import stable_bucket
 
 
+def accepts_n_positional(fn, n: int) -> bool:
+    """True when ``fn`` can be CALLED with ``n`` positional args: counts only
+    POSITIONAL_ONLY/POSITIONAL_OR_KEYWORD parameters and treats *args as
+    accepting any arity; keyword-only/**kwargs never count (ADVICE r3 — a
+    ``def f(b, tbl, *, opt=None)`` used to be mis-sniffed as lineage-aware
+    and called with 3 positionals). Unintrospectable callables (C extensions
+    raise ValueError from ``inspect.signature``) fall back to False — the
+    minimal-arity call."""
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters.values()
+    except (TypeError, ValueError):
+        return False
+    n_pos = 0
+    for p in params:
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            n_pos += 1
+        elif p.kind == p.VAR_POSITIONAL:
+            return True
+    return n_pos >= n
+
+
 def _split_by_bucket(
     table: pa.Table,
     bucket: np.ndarray,
@@ -111,9 +134,7 @@ def exchange_map(
     LIST of sub-chunk refs a reduce task can fetch and release one at a time
     instead of pinning the whole run."""
 
-    import inspect
-
-    map_takes_path = len(inspect.signature(map_fn).parameters) >= 2
+    map_takes_path = accepts_n_positional(map_fn, 2)
 
     @ray.remote(num_cpus=map_num_cpus, num_returns=num_buckets)
     def map_shard(path: str):
@@ -152,10 +173,9 @@ def hash_exchange(
     input-fragment basenames whose map slices actually contributed rows to its
     bucket — the per-partition lineage a resumable sink records in its
     manifest (SURVEY §4.2)."""
-    import inspect
     import os
 
-    reduce_takes_frags = len(inspect.signature(reduce_fn).parameters) >= 3
+    reduce_takes_frags = accepts_n_positional(reduce_fn, 3)
     frag_names = [os.path.basename(p) for p in shard_paths]
 
     def bucket_fn(t: pa.Table) -> np.ndarray:

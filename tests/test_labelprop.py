@@ -60,6 +60,23 @@ class TestLabelProp:
         assert (got["cluster_id"] == 0).all()
         assert len(got) == n
 
+    def test_chain_deeper_than_iteration_budget(self, ray_session):
+        """ADVICE r3: a chain LONGER than max_iters used to return a silently
+        partial clustering (one-hop propagation). With pointer doubling a
+        500-node path converges within ~log2(500)+2 iterations."""
+        n = 500
+        pairs = pd.DataFrame({"doc_a": np.arange(n - 1), "doc_b": np.arange(1, n)})
+        got = connected_components_labelprop(pairs, num_buckets=3, max_iters=14)
+        assert (got["cluster_id"] == 0).all()
+
+    def test_nonconvergence_raises_not_silent(self, ray_session):
+        """If the budget genuinely runs out, the contract is a loud error,
+        never a partially-propagated result."""
+        n = 64
+        pairs = pd.DataFrame({"doc_a": np.arange(n - 1), "doc_b": np.arange(1, n)})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components_labelprop(pairs, num_buckets=2, max_iters=1)
+
     def test_disjoint_components_stay_disjoint(self, ray_session):
         pairs = pd.DataFrame(
             {"doc_a": [10, 11, 50, 51], "doc_b": [11, 12, 51, 52]}

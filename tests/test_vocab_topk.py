@@ -228,3 +228,30 @@ class TestMisraGries:
             ["n", "term"], ascending=[False, True], kind="mergesort"
         ).head(3).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp)
+
+    def test_mg_violation_warns_not_silent(self, ray_session, tmp_path):
+        """ADVICE r3: when the k-th exact candidate count does NOT clear the
+        N/(capacity+1) undercount bound, the caller gets a RuntimeWarning
+        instead of a silently-maybe-approximate top-k."""
+        import warnings
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mpds_ray.pipelines.text import heavy_hitter_terms
+
+        rng = np.random.default_rng(3)
+        # near-uniform stream: every count is far below N/(capacity+1)
+        words = rng.choice([f"w{j}" for j in range(2000)], 8000)
+        docs = [" ".join(words[i * 200:(i + 1) * 200]) for i in range(40)]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(40, dtype=np.int64), "text": docs,
+             "lang": "en", "source": "s", "n_chars": [len(t) for t in docs]}
+        )
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            heavy_hitter_terms(str(tmp_path), k=3, capacity=4)
+        assert any("Misra-Gries bound" in str(x.message) for x in w)
