@@ -71,7 +71,7 @@ SALT = os.environ.get("MPDS_BENCH_SALT", "1") != "0"
 HEADLINE_TRIALS = int(os.environ.get("MPDS_BENCH_TRIALS", "5"))
 
 
-def run_headline() -> tuple[float, int]:
+def run_headline() -> tuple[float, int, float]:
     import glob
 
     import pyarrow.parquet as pq
@@ -88,7 +88,7 @@ def run_headline() -> tuple[float, int]:
             while f.read(1 << 24):
                 pass
 
-    def one_run(out_dir: str) -> float:
+    def one_run(out_dir: str, chunk_rows: int | None = None) -> float:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         res = run_flagship_exchange(
@@ -99,6 +99,7 @@ def run_headline() -> tuple[float, int]:
             heavy=True,  # include DFA + Lomb-Scargle dfc (reference headline
             # features; also makes the stage compute-bound -> scales with cores)
             salt=SALT,
+            chunk_rows=chunk_rows,
         )
         secs = time.perf_counter() - t0
         written = res["rows"].sum()
@@ -110,16 +111,36 @@ def run_headline() -> tuple[float, int]:
     # (module imports, numpy/pandas first-call initialization, parquet codec
     # setup) here, so the timed runs measure steady-state throughput — the
     # quantity that scales with cluster size — not per-process cold start.
-    warm_dir = f"/tmp/mpds_bench_warm/{NUM_CPUS}"
+    # pid-scoped scratch dirs: concurrent bench invocations (e.g. a scaling
+    # hunt alongside an interactive run) must not rmtree each other's
+    # partitions mid-write
+    warm_dir = f"/tmp/mpds_bench_warm/{NUM_CPUS}.{os.getpid()}"
     one_run(warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # min-of-N timed runs: this host's deliverable parallel throughput swings
     # several-x with co-tenant load (BASELINE.md §3); the min is the host's
     # quiet-window capability, the quantity comparable across levels/rounds.
-    out_dir = f"/tmp/mpds_bench_out/{NUM_CPUS}"
+    out_dir = f"/tmp/mpds_bench_out/{NUM_CPUS}.{os.getpid()}"
     secs = min(one_run(out_dir) for _ in range(HEADLINE_TRIALS))
-    return secs, n_rows
+
+    # chunked-reduce leg (VERDICT r3 'Missing' #3): the BOUNDED-MEMORY reduce
+    # (peak reduce heap = 2 chunks, not the bucket) is the configuration a
+    # 100x-scale run would use; publish its overhead vs the flat reduce so
+    # the flat/chunked switch point is a measured number. chunk_rows is
+    # data-derived: ~4 streamed chunks per reduce bucket.
+    if os.environ.get("MPDS_BENCH_HEADLINE_ONLY"):
+        # scaling subprocesses time the flat headline only (same plan at
+        # both parallelism levels); skip the chunked leg there
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return secs, n_rows, float("nan")
+    chunk_rows = max(4096, n_rows // (64 * 4))
+    chunked_secs = min(
+        one_run(out_dir, chunk_rows=chunk_rows)
+        for _ in range(max(2, HEADLINE_TRIALS // 2))
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return secs, n_rows, chunked_secs
 
 
 def run_queries() -> dict[str, float]:
@@ -163,7 +184,7 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    secs, n_rows = run_headline()
+    secs, n_rows, chunked_secs = run_headline()
     queries = {} if os.environ.get("MPDS_BENCH_HEADLINE_ONLY") else run_queries()
     print(
         json.dumps(
@@ -176,6 +197,12 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "seq_per_sec": round(n_rows / secs, 1),
                 "n_sequences": n_rows,
+                "headline_chunked_sec": (
+                    round(chunked_secs, 3) if chunked_secs == chunked_secs else None
+                ),
+                "chunked_overhead": (
+                    round(chunked_secs / secs, 3) if chunked_secs == chunked_secs else None
+                ),
             }
         )
     )

@@ -28,6 +28,7 @@ GOLDEN_QUERIES = (
     "dssl_weights",
     "embedding_near_dups_lsh",
     "media_decode_features",
+    "video_frame_features",
 )
 
 

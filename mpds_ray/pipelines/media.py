@@ -63,4 +63,39 @@ def media_decode_features(sf_dir: str) -> pd.DataFrame:
     )
 
 
-QUERIES = {"media_decode_features": media_decode_features}
+def video_frame_features(sf_dir: str) -> pd.DataFrame:
+    """REAL video decode: sample 4 evenly-spaced frames per y4m payload via
+    the ``FrameSampler`` actor pool and emit per-frame luma stats. Oracle is
+    an independent scalar replay of the y4m byte layout
+    (oracle/independent.py — never calls FrameSampler/decode_y4m)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.multimodal import FrameSampler, synth_media_table
+
+    t = synth_media_table(MEDIA_N, seed=MEDIA_SEED, real=True)
+    vids = t.filter(pc.equal(t["kind"], "video"))
+    out = (
+        rd.from_arrow(vids)
+        .map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"n_frames": 4, "fake": False},
+            batch_format="pandas",
+            batch_size=16,
+            concurrency=(1, 16),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+        .astype({"media_id": np.int64, "frame_idx": np.int64,
+                 "n_frames_total": np.int64, "width": np.int64,
+                 "height": np.int64})
+    )
+
+
+QUERIES = {
+    "media_decode_features": media_decode_features,
+    "video_frame_features": video_frame_features,
+}

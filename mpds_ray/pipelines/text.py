@@ -60,6 +60,137 @@ SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY text ORDER BY keep_doc_id
 """
 
+# --- exact-substring (repeated k-gram) dedup stats ---
+
+REPEAT_K = 8
+
+
+def repeated_ngram_stats(sf_dir: str, k: int = REPEAT_K, num_buckets: int | None = None):
+    """Exact-substring dedup statistics (the repeated-k-gram formulation of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed as one hash exchange): every token k-gram is keyed
+    by its exact byte image; a gram occurring >= 2 times anywhere in the
+    corpus (any doc, including within one doc) marks its positions repeated.
+    Output per doc: gram count, repeated-position count, repeated fraction.
+
+    Scale shape: the shuffle carries (gram bytes, doc_id) pairs — O(tokens *
+    4k) bytes, the standard substring-dedup exchange. A gram's occurrences
+    all co-locate in one bucket (keyed by gram hash), so each bucket holds
+    its grams' GLOBAL counts — no second pass. Per-bucket partials are
+    (doc_id, n_occ, n_rep), bounded by docs-per-bucket; the driver fold is
+    O(result rows). Gram-hash keys are near-uniform, so no salting needed.
+    """
+    from ..stages.exchange import auto_num_buckets, hash_exchange
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "documents")
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(shards)
+    kk = int(k)
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        tok = tokenize_batch(t)
+        arr = tok["tokens"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        if flat.size < kk:
+            return pa.table(
+                {
+                    "gram_hash": pa.array([], type=pa.int64()),
+                    "gram": pa.array([], type=pa.binary(4 * kk)),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offs)
+        win = np.lib.stride_tricks.sliding_window_view(flat, kk)  # (N-k+1, k)
+        # doc of each window start; valid iff the window stays inside the doc
+        doc_of = np.repeat(np.arange(offs.size - 1, dtype=np.int64), lengths)[
+            : win.shape[0]
+        ]
+        starts = np.arange(win.shape[0], dtype=np.int64)
+        valid = starts + kk <= offs[1:][doc_of]
+        win = np.ascontiguousarray(win[valid])
+        gdoc = doc_ids[doc_of[valid]]
+        # routing hash: uint64 wraparound polynomial over the k token ids —
+        # collisions only affect routing; equality below is on exact bytes
+        h = np.zeros(win.shape[0], dtype=np.uint64)
+        wu = win.astype(np.uint64)
+        p = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            for j in range(kk):
+                h = h * p + wu[:, j]
+        gram = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(4 * kk),
+            win.shape[0],
+            [None, pa.py_buffer(win.astype("<i4").tobytes())],
+        )
+        return pa.table(
+            {
+                "gram_hash": pa.array(h.astype(np.int64)),
+                "gram": gram,
+                "doc_id": pa.array(gdoc),
+            }
+        )
+
+    void_t = np.dtype((np.void, 4 * kk))
+
+    def reduce_fn(b: int, tbl: pa.Table) -> pd.DataFrame:
+        garr = tbl["gram"].combine_chunks()
+        item = 4 * kk
+        raw = np.frombuffer(garr.buffers()[1], dtype=np.uint8)
+        raw = raw[garr.offset * item : (garr.offset + len(garr)) * item]
+        key = raw.view(void_t)
+        _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+        rep = (counts >= 2)[inv]
+        docs = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        uids, dinv = np.unique(docs, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "doc_id": uids,
+                "n_occ": np.bincount(dinv).astype(np.int64),
+                "n_rep": np.bincount(dinv, weights=rep.astype(np.float64)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    out = hash_exchange(
+        shards, map_fn, "gram_hash", num_buckets, reduce_fn,
+        columns=["doc_id", "text", "source"],
+    )
+    g = (
+        out.groupby("doc_id", sort=True)
+        .agg(n_grams=("n_occ", "sum"), n_repeated=("n_rep", "sum"))
+        .reset_index()
+    )
+    g["n_grams"] = g["n_grams"].astype(np.int64)
+    g["n_repeated"] = g["n_repeated"].astype(np.int64)
+    g["repeated_frac"] = np.round(g["n_repeated"] / g["n_grams"], 6)
+    return g
+
+
+REPEAT_NGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), pos AS (
+  SELECT doc_id, tokens, unnest(range(1, len(tokens) - {REPEAT_K} + 2)) AS i
+  FROM tok WHERE len(tokens) >= {REPEAT_K}
+), grams AS (
+  SELECT doc_id, list_slice(tokens, i, i + {REPEAT_K} - 1) AS g FROM pos
+), cnt AS (
+  SELECT g, count(*) AS c FROM grams GROUP BY g
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE c >= 2) AS n_repeated,
+       round(count(*) FILTER (WHERE c >= 2) * 1.0 / count(*), 6) AS repeated_frac
+FROM grams JOIN cnt USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 # --- token counting / quality scoring ---
 
 
@@ -1319,6 +1450,7 @@ QUERIES = {
     "clean_text": clean_text,
     "tfidf_top_term": tfidf_top_term,
     "dedup_exact": dedup_exact,
+    "repeated_ngram_stats": repeated_ngram_stats,
     "token_counts": token_counts,
     "token_counts_bpe": token_counts_bpe,
     "quality_scores": quality_scores,
@@ -1340,6 +1472,7 @@ ORACLE = {
     "clean_text": CLEAN_TEXT_SQL,
     "tfidf_top_term": TFIDF_SQL,
     "dedup_exact": DEDUP_SQL,
+    "repeated_ngram_stats": REPEAT_NGRAM_SQL,
     "token_counts": TOKEN_COUNT_SQL,
     "token_counts_bpe": TOKEN_COUNT_BPE_SQL,
     "quality_scores": QUALITY_SQL,

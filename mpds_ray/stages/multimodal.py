@@ -11,8 +11,11 @@ decode is real wherever the environment allows):
   always available; other formats (JPEG/PNG) decode through PIL when it is
   importable (probed once per actor in ``__init__``), else raise
   ``NotImplementedError`` naming the missing codec;
-- **video**: stub only (no container-safe pure-python codec exists);
-  ``FrameSampler`` keeps the flat_map plumbing real.
+- **video**: REAL YUV4MPEG2 (y4m) decode in pure numpy — uncompressed
+  planar frames behind a text header, the video analogue of netpbm;
+  compressed containers (mp4/webm) decode through imageio/PyAV when one is
+  importable (probed once per actor in ``__init__``), else raise
+  ``NotImplementedError`` naming the missing codec.
 
 ``fake=True`` substitutes a deterministic payload-hash pseudo-decode so the
 pipeline shape (schema, actor signature, batch sizing, output layout) is
@@ -78,10 +81,75 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return x.reshape(-1, ch), sr
 
 
+def decode_y4m(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-numpy YUV4MPEG2 decode: returns (luma frames uint8 (n, h, w),
+    width, height). Chroma planes are skipped over, not returned — frame
+    stats below are luma-based. Supports C420*, C422, C444 and Cmono;
+    raises ValueError on a non-y4m payload."""
+    if not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"not a y4m payload (magic {buf[:9]!r})")
+    nl = buf.index(b"\n")
+    w = h = None
+    cs = b"420"
+    for tok in buf[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok[1:]
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith(b"420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith(b"422"):
+        frame_bytes = w * h + 2 * ((w // 2) * h)
+    elif cs.startswith(b"444"):
+        frame_bytes = 3 * w * h
+    elif cs == b"mono":
+        frame_bytes = w * h
+    else:
+        raise NotImplementedError(f"y4m colorspace {cs!r}")
+    pos = nl + 1
+    frames = []
+    while pos < len(buf):
+        fnl = buf.index(b"\n", pos)
+        if not buf[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("y4m frame marker missing")
+        start = fnl + 1
+        if start + frame_bytes > len(buf):
+            raise ValueError("truncated y4m frame")
+        frames.append(
+            np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=start).reshape(h, w)
+        )
+        pos = start + frame_bytes
+    if not frames:
+        raise ValueError("y4m stream has no frames")
+    return np.stack(frames), w, h
+
+
 def synth_ppm_payload(width: int, height: int, seed: int) -> bytes:
     rng = np.random.default_rng(seed)
     pix = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
     return b"P6\n# synth\n%d %d\n255\n" % (width, height) + pix.tobytes()
+
+
+def synth_y4m_payload(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic C420 y4m stream: a moving gradient plus seeded noise so
+    per-frame luma stats differ frame to frame."""
+    rng = np.random.default_rng(seed)
+    parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (width, height)]
+    base = np.add.outer(np.arange(height), np.arange(width)) % 256
+    cw, ch_ = width // 2, height // 2
+    for i in range(n_frames):
+        y = ((base + 7 * i) % 256).astype(np.uint8)
+        y = np.clip(
+            y.astype(np.int16) + rng.integers(-8, 9, y.shape, dtype=np.int16), 0, 255
+        ).astype(np.uint8)
+        u = np.full((ch_, cw), 128, dtype=np.uint8)
+        v = np.full((ch_, cw), (120 + i) % 256, dtype=np.uint8)
+        parts.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    return b"".join(parts)
 
 
 def synth_wav_payload(n_samples: int, sample_rate: int, seed: int) -> bytes:
@@ -123,8 +191,13 @@ def synth_media_table(n: int = 64, seed: int = 42, real: bool = False) -> pa.Tab
     heights = rng.integers(32, 512, n).astype(np.int32)
     payloads = []
     for i in range(n):
-        if not real or kinds[i] == "video":
+        if not real:
             payloads.append(rng.bytes(int(rng.integers(256, 4096))))
+        elif kinds[i] == "video":
+            payloads.append(
+                synth_y4m_payload(int(widths[i]) % 32 + 8, int(heights[i]) % 32 + 8,
+                                  int(rng.integers(3, 9)), seed + i)
+            )
         elif kinds[i] == "image":
             payloads.append(synth_ppm_payload(int(widths[i]) % 64 + 8,
                                               int(heights[i]) % 64 + 8, seed + i))
@@ -245,24 +318,93 @@ class DecodeAudio:
 
 
 class FrameSampler:
-    """Video frame-sampling plumbing (stub decode): emits ``n_frames`` rows
-    per video row with deterministic frame offsets — the flat_map shape for
-    frame-level pipelines."""
+    """Actor-pool stage: video payload -> ``n_frames`` evenly-sampled frame
+    rows per video (the flat_map shape for frame-level pipelines).
+
+    REAL decode paths (probed once per actor): YUV4MPEG2 streams in pure
+    numpy always; compressed containers via imageio or PyAV when one is
+    importable. A payload with no available codec raises
+    ``NotImplementedError`` naming the format. ``fake=True`` keeps the
+    deterministic offset-only pseudo-sample for format-independent plumbing
+    tests (schema: media_id, frame_idx, frame_offset)."""
 
     def __init__(self, n_frames: int = 4, fake: bool = True):
-        if not fake:
-            raise NotImplementedError("video codecs unavailable; use fake=True")
         self.n_frames = n_frames
+        self.fake = fake
+        self._imageio = self._av = None
+        if not fake:  # codec probe ONCE per actor, not per batch
+            try:
+                import imageio.v3 as iio  # noqa: F401
+
+                self._imageio = iio
+            except ImportError:
+                pass
+            try:
+                import av  # noqa: F401
+
+                self._av = av
+            except ImportError:
+                pass
+
+    def _decode_luma(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """-> (luma/grayscale frames (n, h, w) uint8, width, height)."""
+        if payload.startswith(b"YUV4MPEG2"):
+            return decode_y4m(payload)
+        if self._imageio is not None:
+            frames = np.asarray(self._imageio.imread(payload, index=None))
+            if frames.ndim == 4:  # (n, h, w, 3) -> luma via Rec.601
+                frames = (frames.astype(np.float64) @ [0.299, 0.587, 0.114]).astype(np.uint8)
+            return frames, frames.shape[2], frames.shape[1]
+        if self._av is not None:
+            import io as _io
+
+            with self._av.open(_io.BytesIO(payload)) as c:
+                fs = [f.to_ndarray(format="gray") for f in c.decode(video=0)]
+            frames = np.stack(fs)
+            return frames, frames.shape[2], frames.shape[1]
+        raise NotImplementedError(
+            f"no codec for video payload with magic {payload[:4]!r}: y4m "
+            "decodes natively; imageio/PyAV are not importable in this "
+            "environment"
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        reps = np.repeat(np.arange(len(batch)), self.n_frames)
-        out = batch.iloc[reps][["media_id"]].reset_index(drop=True)
-        out["frame_idx"] = np.tile(np.arange(self.n_frames), len(batch))
-        sizes = batch["payload"].map(len).to_numpy()
-        out["frame_offset"] = (
-            (sizes[reps] * out["frame_idx"].to_numpy()) // self.n_frames
-        ).astype(np.int64)
-        return out
+        if self.fake:
+            reps = np.repeat(np.arange(len(batch)), self.n_frames)
+            out = batch.iloc[reps][["media_id"]].reset_index(drop=True)
+            out["frame_idx"] = np.tile(np.arange(self.n_frames), len(batch))
+            sizes = batch["payload"].map(len).to_numpy()
+            out["frame_offset"] = (
+                (sizes[reps] * out["frame_idx"].to_numpy()) // self.n_frames
+            ).astype(np.int64)
+            return out
+        rows = []
+        for mid, p in zip(batch["media_id"], batch["payload"]):
+            frames, w, h = self._decode_luma(bytes(p))
+            total = frames.shape[0]
+            # evenly-spaced sample of min(n_frames, total) distinct indices
+            k = min(self.n_frames, total)
+            idx = np.unique((np.arange(k) * total) // k)
+            for fi in idx:
+                y = frames[fi].astype(np.float64)
+                rows.append(
+                    (
+                        mid,
+                        int(fi),
+                        total,
+                        w,
+                        h,
+                        round(float(y.mean()), 6),
+                        round(float(y.std()), 6),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "frame_idx", "n_frames_total", "width", "height",
+                "y_mean", "y_std",
+            ],
+        )
 
 
 def decode_pipeline(media_ds, fake: bool = True, batch_size: int = 64,

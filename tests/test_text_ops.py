@@ -208,6 +208,52 @@ class TestMultimodal:
         assert len(out) == 18
         assert out.groupby("media_id")["frame_idx"].nunique().eq(3).all()
 
+    def test_y4m_roundtrip(self):
+        from mpds_ray.stages.multimodal import decode_y4m, synth_y4m_payload
+
+        buf = synth_y4m_payload(12, 10, 5, seed=3)
+        frames, w, h = decode_y4m(buf)
+        assert (frames.shape, w, h) == ((5, 10, 12), 12, 10)
+        # frames differ (moving gradient) and are deterministic
+        assert not np.array_equal(frames[0], frames[1])
+        frames2, _, _ = decode_y4m(synth_y4m_payload(12, 10, 5, seed=3))
+        assert np.array_equal(frames, frames2)
+        # hand-built mono stream: known luma bytes decode exactly
+        mono = b"YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n" + bytes([10, 20, 30, 40])
+        f, w2, h2 = decode_y4m(mono)
+        assert np.array_equal(f[0], [[10, 20], [30, 40]])
+        with pytest.raises(ValueError):
+            decode_y4m(b"RIFFxxxx")
+
+    def test_frame_sampler_real_decode(self):
+        from mpds_ray.stages.multimodal import synth_y4m_payload
+
+        b = pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "payload": [
+                    synth_y4m_payload(8, 8, 10, seed=1),
+                    synth_y4m_payload(6, 4, 2, seed=2),
+                ],
+            }
+        )
+        out = FrameSampler(n_frames=4, fake=False)(b)
+        # 4 evenly-spaced distinct frames of 10; only 2 exist for media 2
+        assert list(out[out.media_id == 1]["frame_idx"]) == [0, 2, 5, 7]
+        assert list(out[out.media_id == 2]["frame_idx"]) == [0, 1]
+        assert (out[out.media_id == 1]["n_frames_total"] == 10).all()
+        # luma stats match a direct recompute
+        from mpds_ray.stages.multimodal import decode_y4m
+
+        frames, _, _ = decode_y4m(bytes(b["payload"][0]))
+        row = out[(out.media_id == 1) & (out.frame_idx == 2)].iloc[0]
+        assert row["y_mean"] == round(float(frames[2].astype(np.float64).mean()), 6)
+
+    def test_frame_sampler_unknown_codec_raises(self):
+        b = pd.DataFrame({"media_id": [1], "payload": [b"\x00\x01\x02\x03" * 64]})
+        with pytest.raises(NotImplementedError):
+            FrameSampler(fake=False)(b)
+
 
 class TestSegmentVectorizedParity:
     """The segment-vectorized text kernels must equal the scalar references
@@ -280,6 +326,30 @@ class TestSegmentVectorizedParity:
         for i, d in enumerate(docs):
             want = minhash_signature(_shingles(d), seeds)
             assert np.array_equal(sig[:, i], want), i
+
+
+def test_repeated_ngram_stats_planted(ray_session, tmp_path):
+    from mpds_ray.pipelines.text import repeated_ngram_stats
+
+    # tokenizer hashes (first char, word len): every word below differs in
+    # its FIRST character, so all tokens are distinct (fixture rule)
+    w = [chr(ord("a") + i) * 2 for i in range(26)]  # aa bb cc ...
+    texts = [
+        " ".join(w[0:10]),              # doc0: 3 grams; gram@0 shared w/ doc1
+        " ".join(w[0:8] + w[20:22]),    # doc1: 3 grams; gram@0 == doc0 gram@0
+        " ".join(w[10:18] + w[10:18]),  # doc2: 9 grams; gram@0 == gram@8 (self)
+        " ".join(w[18:20]),             # doc3: < k tokens -> no output row
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": texts, "source": "s"}
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    out = repeated_ngram_stats(str(tmp_path), num_buckets=4).set_index("doc_id")
+    assert list(out.index) == [0, 1, 2]
+    assert out.loc[0, "n_grams"] == 3 and out.loc[0, "n_repeated"] == 1
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_repeated"] == 1
+    assert out.loc[2, "n_grams"] == 9 and out.loc[2, "n_repeated"] == 2
+    assert out.loc[2, "repeated_frac"] == pytest.approx(round(2 / 9, 6))
 
 
 def test_doc_repetition_ratio_hand_values(ray_session, tmp_path):

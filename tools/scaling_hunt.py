@@ -48,6 +48,10 @@ def main() -> None:
     # (2, 8) pair keeps our own job below the DRAM controller's saturation
     # point, isolating core-scaling in bandwidth-contended eras (BASELINE §3)
     levels = [("8", "32"), ("2", "8")]
+    if os.environ.get("MPDS_HUNT_LEVELS"):
+        # e.g. MPDS_HUNT_LEVELS=8:32 pins the hunt to one pair shape
+        lo, hi = os.environ["MPDS_HUNT_LEVELS"].split(":")
+        levels = [(lo, hi)]
     best_clock = float("inf")
     for i in range(max_iters):
         fixture = fixtures[i % len(fixtures)]
