@@ -1543,6 +1543,103 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def segment_urgent_coverage(sf_dir: str, num_buckets: int = 16):
+    """Distributed LEFT OUTER join over the co-partitioned exchange
+    (``exchange_join(how='left')``): customers joined to their URGENT-order
+    spend, per market segment — customers with NO urgent orders survive the
+    join as NULL matches and are counted, the semantics an inner exchange
+    (which skips one-sided buckets) silently drops. The priority predicate
+    pushes into the orders parquet scan; orders pre-reduce to per-custkey
+    (count, cents) partials map-side so only partials shuffle; money rides
+    exact int64 cents. Driver fold is |segments| x num_buckets tiny rows."""
+    from ..stages.hashjoin import exchange_join
+    from .common import shard_list
+
+    def c_map(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "c_mktsegment": t["c_mktsegment"]}
+        )
+
+    def o_map(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                    "cents": cents,
+                }
+            )
+            .groupby("c_custkey", as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(b: int, left: pa.Table, right) -> pd.DataFrame:
+        lf = left.to_pandas()
+        if right is None:
+            m = lf.assign(n=np.nan, cents=0)
+        else:
+            # shard partials: re-aggregate per key before the left merge
+            rf = (
+                right.to_pandas()
+                .groupby("c_custkey", as_index=False)
+                .agg(n=("n", "sum"), cents=("cents", "sum"))
+            )
+            m = lf.merge(rf, on="c_custkey", how="left")
+            m["cents"] = m["cents"].fillna(0)
+        return (
+            m.groupby("c_mktsegment", as_index=False)
+            .agg(
+                n_customers=("c_custkey", "size"),
+                n_without_urgent=("n", lambda s: int(s.isna().sum())),
+                cents=("cents", "sum"),
+            )
+        )
+
+    out = exchange_join(
+        shard_list(sf_dir, "customer"),
+        shard_list(sf_dir, "orders"),
+        "c_custkey",
+        reduce_fn,
+        num_buckets,
+        left_map=c_map,
+        right_map=o_map,
+        columns_left=["c_custkey", "c_mktsegment"],
+        columns_right=["o_custkey", "o_totalprice", "o_orderpriority"],
+        filters_right=[("o_orderpriority", "==", "1-URGENT")],
+        how="left",
+    )
+    g = (
+        out.groupby("c_mktsegment", sort=True)
+        .agg(
+            n_customers=("n_customers", "sum"),
+            n_without_urgent=("n_without_urgent", "sum"),
+            cents=("cents", "sum"),
+        )
+        .reset_index()
+    )
+    g["n_customers"] = g["n_customers"].astype(np.int64)
+    g["n_without_urgent"] = g["n_without_urgent"].astype(np.int64)
+    g["urgent_spend"] = g.pop("cents").astype(np.int64) / 100.0
+    return g
+
+
+SEGMENT_URGENT_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(*) FILTER (WHERE t.n IS NULL) AS n_without_urgent,
+       coalesce(sum(t.cents), 0) / 100.0 AS urgent_spend
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+) t ON c.c_custkey = t.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def rich_customers_without_orders(sf_dir: str, num_buckets: int = 16):
     """TPC-H Q22-shaped composite: LAPSED rich customers — balance above the
     GLOBAL average positive balance and no orders since 1999 — counted per
@@ -2249,6 +2346,7 @@ QUERIES = {
     "value_median_exact": value_median_exact,
     "grouped_value_quantiles": grouped_value_quantiles,
     "customers_without_orders": customers_without_orders,
+    "segment_urgent_coverage": segment_urgent_coverage,
     "building_order_stats": building_order_stats,
     "mpds_scaled_orders": mpds_scaled_orders,
     "kfold_counts": kfold_counts,
@@ -2281,6 +2379,7 @@ ORACLE = {
     "value_median_exact": MEDIAN_EXACT_SQL,
     "grouped_value_quantiles": GROUPED_QUANTILES_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
+    "segment_urgent_coverage": SEGMENT_URGENT_SQL,
     "building_order_stats": BUILDING_SQL,
     "mpds_scaled_orders": MPDS_SQL,
     "kfold_counts": KFOLD_SQL,

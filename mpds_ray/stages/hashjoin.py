@@ -119,6 +119,7 @@ def exchange_join(
     bloom_from: str | None = None,
     bloom_bits: int = 1 << 23,
     bloom_hashes: int = 4,
+    how: str = "inner",
 ) -> pd.DataFrame:
     """Co-partition both sides on ``hash(key) % num_buckets`` and run
     ``reduce_fn(bucket, left_tbl, right_tbl)`` per bucket. ``left_map`` /
@@ -128,11 +129,26 @@ def exchange_join(
     ``bloom_from='right'`` (or ``'left'``) builds a bloom filter over that
     side's post-map keys and prefilters the OTHER side's rows map-side,
     before its combiner and the shuffle — use when one side is selective.
-    Results are identical with or without (exact join per bucket)."""
+    Results are identical with or without (exact join per bucket).
+
+    ``how='left'`` preserves LEFT rows in buckets where the right side is
+    empty: ``reduce_fn`` is then called as ``reduce_fn(b, left_tbl,
+    right_tbl_or_None)`` and must treat ``None`` as zero matches (the
+    documented footgun of the inner path, which SKIPS one-sided buckets —
+    wrong for LEFT/anti semantics). ``bloom_from='right'`` is rejected for
+    'left' — it prefilters the preserved side, dropping its unmatched rows;
+    ``bloom_from='left'`` (filtering the nullable side) remains valid."""
 
     def bucket_fn(t: pa.Table) -> np.ndarray:
         return stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left" and bloom_from == "right":
+        raise ValueError(
+            "bloom_from='right' with how='left' would prefilter the "
+            "preserved side and drop its unmatched rows"
+        )
     ident = lambda t: t  # noqa: E731
     left_map = left_map or ident
     right_map = right_map or ident
@@ -179,7 +195,11 @@ def exchange_join(
     def join_bucket(b: int, n_left: int, *parts: pa.Table) -> pd.DataFrame:
         lp = [p for p in parts[:n_left] if p.num_rows]
         rp = [p for p in parts[n_left:] if p.num_rows]
-        if not lp or not rp:
+        if not lp:
+            return pd.DataFrame()
+        if not rp:
+            if how == "left":
+                return reduce_fn(b, pa.concat_tables(lp), None)
             return pd.DataFrame()
         return reduce_fn(b, pa.concat_tables(lp), pa.concat_tables(rp))
 
