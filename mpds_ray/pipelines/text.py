@@ -1008,6 +1008,32 @@ def minhash_dup_candidates(sf_dir: str, threshold: float = 0.5):
         pairs_bucket.remote(*[sig_refs[s][b] for s in range(len(shards))])
         for b in range(n_bb)
     ]
+    return _verify_pairs_exact(shards, pair_refs, threshold, n_vb=n_vb)
+
+
+def _verify_pairs_exact(
+    shards: list[str],
+    pair_refs: list,
+    threshold: float,
+    n_vb: int = 8,
+) -> pd.DataFrame:
+    """Exchange-routed EXACT shingle-Jaccard verification of candidate doc
+    pairs held in plasma (shared tail of the MinHash banding and the
+    prefix-filter set-similarity join): a ref-to-ref rebucket routes pairs
+    by hash(doc_a) to verify buckets, each bucket dedupes ITS pairs and
+    emits its (doc_id, vb) need table map-side, shard tasks re-derive the
+    needed shingle sets and ship each once per referencing bucket, and the
+    vectorized ``_pairwise_jaccard`` kernel runs per bucket. The driver
+    holds object refs plus one pair-count int per bucket — never pairs."""
+    import ray
+
+    from ..stages.exchange import exchange_map
+    from ..stages.hashjoin import rebucket_refs
+
+    _EMPTY_PAIRS = pa.table(
+        {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+    )
+    n_pb = len(pair_refs)
     vb_grid = rebucket_refs(pair_refs, "doc_a", n_vb)
 
     @ray.remote(num_returns=3)
@@ -1037,7 +1063,7 @@ def minhash_dup_candidates(sf_dir: str, threshold: float = 0.5):
 
     vb_pair_refs, need_refs, count_refs = [], [], []
     for b in range(n_vb):
-        pr, nr, cr = vb_pairs_and_need.remote(b, *[vb_grid[i][b] for i in range(n_bb)])
+        pr, nr, cr = vb_pairs_and_need.remote(b, *[vb_grid[i][b] for i in range(n_pb)])
         vb_pair_refs.append(pr)
         need_refs.append(nr)
         count_refs.append(cr)
@@ -1150,6 +1176,120 @@ def minhash_dup_candidates(sf_dir: str, threshold: float = 0.5):
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+# --- exact set-similarity join (prefix filter, Vernica et al. SIGMOD'10) ---
+
+SSJOIN_THRESHOLD = 0.5
+
+
+def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
+    """EXACT all-pairs shingle-Jaccard >= t via PREFIX FILTERING — the
+    lossless complement to the MinHash path (same output schema, no LSH
+    recall caveat): each doc emits only its p = s - ceil(t*s) + 1 smallest
+    shingle hashes (prefix theorem: two sets with J >= t must share a
+    prefix element under ANY fixed total order — the hash order needs no
+    global frequency pass); candidate pairs form per shared prefix shingle
+    with the size filter min >= t * max, stay in plasma, and run through
+    the shared exchange-routed exact-verify tail (``_verify_pairs_exact``).
+    Candidate volume is O(docs sharing a prefix shingle)^2 per shingle —
+    the hash order spreads prefixes uniformly, so no salting is needed."""
+    import ray
+
+    from ..stages.exchange import exchange_map
+    from ..stages.partition import stable_bucket
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "documents")
+    n_tb = 8  # prefix-shingle buckets
+
+    def prefix_map(batch: pa.Table) -> pa.Table:
+        tok = tokenize_batch(batch)
+        flat, offs = _flat_tokens(tok)
+        sh, sh_offs = _shingles_flat(flat, offs)
+        u, _seg, n_uniq = _unique_per_segment(sh, sh_offs)  # sorted per doc
+        doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False)
+        p = n_uniq - np.ceil(threshold * n_uniq).astype(np.int64) + 1
+        p = np.minimum(np.maximum(p, 1), n_uniq)
+        # gather each doc's first p (smallest-hash) shingles from the flat
+        # unique buffer — vectorized range gather
+        doffs = np.r_[0, np.cumsum(n_uniq)]
+        out_start = np.r_[0, np.cumsum(p)[:-1]]
+        idx = np.repeat(doffs[:-1] - out_start, p) + np.arange(int(p.sum()), dtype=np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(u[idx].view(np.int64)),
+                "doc_id": pa.array(np.repeat(doc_ids, p), type=pa.int64()),
+                "size": pa.array(np.repeat(n_uniq, p), type=pa.int64()),
+            }
+        )
+
+    def tb_bucket_fn(t: pa.Table) -> np.ndarray:
+        return stable_bucket(t["shingle"].to_numpy(zero_copy_only=False), n_tb)
+
+    tok_refs = exchange_map(
+        shards, prefix_map, tb_bucket_fn, n_tb, columns=["doc_id", "text", "source"],
+    )
+
+    _EMPTY = pa.table(
+        {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+    )
+
+    @ray.remote
+    def candidates_bucket(*parts: pa.Table) -> pa.Table:
+        nonempty = [q for q in parts if q.num_rows]
+        if not nonempty:
+            return _EMPTY
+        df = pa.concat_tables(nonempty).to_pandas()
+        frames = []
+        for _, g in df.groupby("shingle", sort=False):
+            ids = g["doc_id"].to_numpy()
+            if ids.size < 2:
+                continue
+            order = np.argsort(ids)
+            ids = ids[order]
+            sizes = g["size"].to_numpy()[order]
+            ii, jj = np.triu_indices(ids.size, k=1)
+            # size filter: J >= t requires min(|a|,|b|) >= t * max(|a|,|b|)
+            sa, sb = sizes[ii], sizes[jj]
+            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            if ok.any():
+                frames.append(
+                    pd.DataFrame({"doc_a": ids[ii[ok]], "doc_b": ids[jj[ok]]})
+                )
+        if not frames:
+            return _EMPTY
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pair_refs = [
+        candidates_bucket.remote(*[tok_refs[s][b] for s in range(len(shards))])
+        for b in range(n_tb)
+    ]
+    return _verify_pairs_exact(shards, pair_refs, threshold)
+
+
+SSJOIN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(tokens) < 3
+                THEN list_transform(tokens, t -> CAST(t AS VARCHAR))
+                ELSE list_transform(range(1, len(tokens) - 1),
+                     i -> concat(tokens[i], '_', tokens[i + 1], '_', tokens[i + 2]))
+           END) AS s
+  FROM tok
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {SSJOIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
 
 
 # --- n-gram Jaccard vs a reference doc (rows-only) ---
@@ -1461,6 +1601,7 @@ QUERIES = {
     "lang_id": lang_id,
     "simhash_docs": simhash_docs,
     "minhash_dup_candidates": minhash_dup_candidates,
+    "similar_pairs_exact": similar_pairs_exact,
     "ngram_jaccard_vs_doc0": ngram_jaccard_vs_doc0,
     "doc_fingerprints": doc_fingerprints,
 }
@@ -1482,4 +1623,5 @@ ORACLE = {
     "doc_token_stats": TOKEN_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "ngram_jaccard_vs_doc0": NGRAM_JACCARD_SQL,
+    "similar_pairs_exact": SSJOIN_SQL,
 }

@@ -161,6 +161,67 @@ WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616 % 100 <
            THEN {SAMPLE_HEAVY_PCT} ELSE {SAMPLE_LIGHT_PCT} END
 """
 
+GROUP_SAMPLE_K = 10
+
+
+def group_uniform_sample(sf_dir: str, k: int = GROUP_SAMPLE_K):
+    """Deterministic uniform sample of exactly k docs per source: keep the k
+    docs with the SMALLEST multiplicative hash ((doc_id * 2654435761) mod
+    2^64) within each source — a hash-rank reservoir with no RNG state and
+    no full shuffle. Each shard emits only its per-source k smallest
+    (mergeable partial top-k), so the driver folds <= k x sources x shards
+    tiny rows; the multiplier is odd, hence a bijection mod 2^64 — no hash
+    ties, identical selection at any parallelism."""
+    import ray
+
+    from .common import shard_list
+
+    kk = int(k)
+
+    @ray.remote
+    def shard_partial(path: str) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "source"])
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "source": t["source"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["h"] = df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        return (
+            df.sort_values("h")
+            .groupby("source", sort=False)
+            .head(kk)
+            .reset_index(drop=True)
+        )
+
+    parts = ray.get([shard_partial.remote(p) for p in shard_list(sf_dir, "documents")])
+    merged = pd.concat(parts, ignore_index=True)
+    out = (
+        merged.sort_values("h")
+        .groupby("source", sort=False)
+        .head(kk)[["doc_id", "source"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+GROUP_SAMPLE_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                    % 18446744073709551616
+         ) AS rn
+  FROM documents
+) WHERE rn <= {GROUP_SAMPLE_K}
+ORDER BY source, doc_id
+"""
+
 # --- quantile-band quality filter -------------------------------------------
 
 
@@ -816,6 +877,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "decontaminate": decontaminate,
     "stratified_sample": stratified_sample,
+    "group_uniform_sample": group_uniform_sample,
     "mid_quality_docs": mid_quality_docs,
     "pack_sequences": pack_sequences,
     "dup_clusters": dup_clusters,
@@ -827,6 +889,7 @@ ORACLE = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "group_uniform_sample": GROUP_SAMPLE_SQL,
     "mid_quality_docs": MID_QUALITY_SQL,
     "pack_sequences": PACK_SQL,
     "dup_clusters": DUP_CLUSTERS_SQL,

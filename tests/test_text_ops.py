@@ -328,6 +328,48 @@ class TestSegmentVectorizedParity:
             assert np.array_equal(sig[:, i], want), i
 
 
+def test_similar_pairs_exact_complete_vs_brute(ray_session, tmp_path):
+    """The prefix-filter join must find EVERY pair with shingle-Jaccard >=
+    t (lossless, unlike LSH): compare to a scalar brute-force all-pairs
+    reference on a corpus salted with near-dup chains."""
+    from mpds_ray.pipelines.text import _shingles, similar_pairs_exact
+    from mpds_ray.tokenize import tokenize_words_py
+
+    rng2 = np.random.default_rng(11)
+    vocab = [chr(ord("a") + i) + chr(ord("a") + j) for i in range(26) for j in range(5)]
+    texts = []
+    for i in range(40):
+        words = list(rng2.choice(vocab, 30))
+        texts.append(" ".join(words))
+        if i % 4 == 0:  # near-dup: mutate a few words -> J straddles 0.5
+            mut = words.copy()
+            for p in rng2.integers(0, 30, rng2.integers(1, 8)):
+                mut[p] = str(rng2.choice(vocab))
+            texts.append(" ".join(mut))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts, "source": "s"}
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+
+    # scalar reference: per-doc shingle set via the scalar tokenizer
+    sets = []
+    for t in texts:
+        toks = np.array([tokenize_words_py(w) for w in t.split(" ")], dtype=np.int64)
+        sets.append(set(_shingles(toks).tolist()))
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            if inter and inter / (len(sets[i]) + len(sets[j]) - inter) >= 0.5:
+                want.add((i, j))
+    assert want, "fixture must plant qualifying pairs"
+
+    out = similar_pairs_exact(str(tmp_path), threshold=0.5)
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == want
+    assert (out["jaccard"] >= 0.5).all()
+
+
 def test_repeated_ngram_stats_planted(ray_session, tmp_path):
     from mpds_ray.pipelines.text import repeated_ngram_stats
 
