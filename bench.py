@@ -60,6 +60,11 @@ BENCH_QUERIES = (
     "hourly_user_value_grid",
     "customer_order_distribution",
     "curate_corpus",
+    "user_feature_matrix",
+    "similar_pairs_exact",
+    "repeated_ngram_stats",
+    "segment_urgent_coverage",
+    "group_uniform_sample",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot

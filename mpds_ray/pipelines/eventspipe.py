@@ -2131,7 +2131,77 @@ FROM events GROUP BY user_id
 """
 
 
+def user_feature_matrix(sf_dir: str):
+    """Feature-engineering capstone: the per-user FEATURE MATRIX a training
+    pipeline feeds downstream — event counts, session count (gap rule),
+    type diversity, purchase count, value sums/means, recency span — built
+    in ONE fused pass: a single (user_id)-keyed exchange, each bucket
+    sorted once, every feature computed from the same sorted arrays. The
+    alternative (one groupby per feature) pays the shuffle nine times; this
+    shape pays it once — the per-user result IS the reduce output (users
+    are entity-complete per bucket), so no driver re-fold."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_sess = np.r_[
+            True, (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > SESSION_GAP)
+        ]
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "ts": ts,
+                "value": g["value"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "is_purchase": g["event_type"].to_numpy() == "purchase",
+                "new_sess": new_sess,
+            }
+        )
+        out = df.groupby("user_id", sort=False).agg(
+            n_events=("ts", "size"),
+            n_sessions=("new_sess", "sum"),
+            n_types=("event_type", "nunique"),
+            n_purchases=("is_purchase", "sum"),
+            total_value=("value", "sum"),
+            mean_value=("value", "mean"),
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+        )
+        out["span_s"] = out["last_ts"] - out["first_ts"]
+        for c in ("total_value", "mean_value", "first_ts", "last_ts", "span_s"):
+            out[c] = np.round(out[c], 6)
+        for c in ("n_events", "n_sessions", "n_types", "n_purchases"):
+            out[c] = out[c].astype(np.int64)
+        return out.reset_index()
+
+    out = _per_bucket_events(sf_dir, ["event_type", "value"], fn)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_FEATURES_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch(ts) AS ts FROM events
+), m AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {SESSION_GAP}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE brk = 1) AS n_sessions,
+       count(DISTINCT event_type) AS n_types,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS mean_value,
+       round(min(ts), 6) AS first_ts,
+       round(max(ts), 6) AS last_ts,
+       round(max(ts) - min(ts), 6) AS span_s
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "user_feature_matrix": user_feature_matrix,
     "user_event_pivot": user_event_pivot,
     "value_histogram": value_histogram,
     "value_quartile_label": value_quartile_label,
@@ -2178,6 +2248,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "user_feature_matrix": USER_FEATURES_SQL,
     "user_event_pivot": PIVOT_SQL,
     "value_histogram": HIST_SQL,
     "value_quartile_label": QUARTILE_SQL,
