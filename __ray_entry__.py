@@ -103,12 +103,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged.update(eventspipe.QUERIES)
     merged.update(relational.QUERIES)
 
+    # operators NEW this round lead (they have no verification history at
+    # all), then the rest of the never-gated surface, then rounds-1-3 green
+    # rows — the driver gate truncates at 50 enumerated queries
+    new_this_round = (
+        "repeated_ngram_stats", "similar_pairs_exact", "video_frame_features",
+        "segment_urgent_coverage", "group_uniform_sample", "user_feature_matrix",
+    )
     out: dict[str, Callable[[str], Any]] = {}
-    for name, fn in merged.items():          # never-gated surface first
-        if name not in _GATED_BEFORE_R4:
+    for name in new_this_round:
+        if name in merged:
+            out[name] = merged[name]
+    for name, fn in merged.items():          # never-gated surface next
+        if name not in _GATED_BEFORE_R4 and name not in out:
             out[name] = fn
     for name, fn in merged.items():          # rounds-1-3 green rows last
-        if name in _GATED_BEFORE_R4:
+        if name in _GATED_BEFORE_R4 and name not in out:
             out[name] = fn
     return out
 

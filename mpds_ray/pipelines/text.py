@@ -1192,8 +1192,15 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
     global frequency pass); candidate pairs form per shared prefix shingle
     with the size filter min >= t * max, stay in plasma, and run through
     the shared exchange-routed exact-verify tail (``_verify_pairs_exact``).
-    Candidate volume is O(docs sharing a prefix shingle)^2 per shingle —
-    the hash order spreads prefixes uniformly, so no salting is needed."""
+    Prefix ORDER is frequency-ascending (the Vernica et al. heuristic):
+    without it, common shingles land in prefixes and per-shingle candidate
+    groups explode quadratically (measured 10.4 s at sf0.1 under plain hash
+    order vs rare-first). Global document frequency is approximated by a
+    BOUNDED hashed count array (2^20 buckets, one uint32 bincount per shard
+    summed on the driver and broadcast once via ray.put — 4 MB regardless
+    of corpus size; hash collisions only inflate a bucket's df, which is a
+    perf heuristic: the (df_bucket, hash) key is still a fixed total order,
+    so completeness is unaffected)."""
     import ray
 
     from ..stages.exchange import exchange_map
@@ -1202,25 +1209,49 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
 
     shards = shard_list(sf_dir, "documents")
     n_tb = 8  # prefix-shingle buckets
+    DF_BUCKETS = 1 << 20
+
+    @ray.remote
+    def shard_df(path: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "text", "source"])
+        tok = tokenize_batch(t)
+        flat, offs = _flat_tokens(tok)
+        sh, sh_offs = _shingles_flat(flat, offs)
+        u, _seg, _n = _unique_per_segment(sh, sh_offs)
+        return np.bincount(
+            (u % np.uint64(DF_BUCKETS)).astype(np.int64), minlength=DF_BUCKETS
+        ).astype(np.uint32)
+
+    df_counts = np.zeros(DF_BUCKETS, dtype=np.uint64)
+    for part in ray.get([shard_df.remote(p) for p in shards]):
+        df_counts += part
+    df_ref = ray.put(df_counts.astype(np.uint32))
 
     def prefix_map(batch: pa.Table) -> pa.Table:
         tok = tokenize_batch(batch)
         flat, offs = _flat_tokens(tok)
         sh, sh_offs = _shingles_flat(flat, offs)
-        u, _seg, n_uniq = _unique_per_segment(sh, sh_offs)  # sorted per doc
+        u, seg, n_uniq = _unique_per_segment(sh, sh_offs)
         doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False)
         p = n_uniq - np.ceil(threshold * n_uniq).astype(np.int64) + 1
         p = np.minimum(np.maximum(p, 1), n_uniq)
-        # gather each doc's first p (smallest-hash) shingles from the flat
-        # unique buffer — vectorized range gather
+        # per-doc order: rarest (bucketed-df) first, hash tiebreak — a fixed
+        # total order shared by every doc, required by the prefix theorem
+        dfs = ray.get(df_ref)
+        dfv = dfs[(u % np.uint64(DF_BUCKETS)).astype(np.int64)]
+        order = np.lexsort((u, dfv, seg))
+        u_s, seg_s = u[order], seg[order]
+        # rank within each (contiguous) segment, then keep rank < p
         doffs = np.r_[0, np.cumsum(n_uniq)]
-        out_start = np.r_[0, np.cumsum(p)[:-1]]
-        idx = np.repeat(doffs[:-1] - out_start, p) + np.arange(int(p.sum()), dtype=np.int64)
+        rank = np.arange(u.size, dtype=np.int64) - np.repeat(doffs[:-1], n_uniq)
+        take = rank < np.repeat(p, n_uniq)
         return pa.table(
             {
-                "shingle": pa.array(u[idx].view(np.int64)),
-                "doc_id": pa.array(np.repeat(doc_ids, p), type=pa.int64()),
-                "size": pa.array(np.repeat(n_uniq, p), type=pa.int64()),
+                "shingle": pa.array(u_s[take].view(np.int64)),
+                "doc_id": pa.array(doc_ids[seg_s[take]], type=pa.int64()),
+                "size": pa.array(n_uniq[seg_s[take]], type=pa.int64()),
             }
         )
 
@@ -1240,16 +1271,25 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
         nonempty = [q for q in parts if q.num_rows]
         if not nonempty:
             return _EMPTY
-        df = pa.concat_tables(nonempty).to_pandas()
+        tbl = pa.concat_tables(nonempty)
+        sh = tbl["shingle"].to_numpy(zero_copy_only=False)
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        sz = tbl["size"].to_numpy(zero_copy_only=False)
+        # sort by (shingle, doc_id); keep only shingles shared by >= 2 docs
+        # BEFORE any per-group work — the vast majority of prefix shingles
+        # are unshared and must cost O(1), not a Python group visit
+        order = np.lexsort((did, sh))
+        sh, did, sz = sh[order], did[order], sz[order]
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        counts = np.diff(np.r_[starts, sh.size])
+        multi = counts >= 2
+        if not multi.any():
+            return _EMPTY
         frames = []
-        for _, g in df.groupby("shingle", sort=False):
-            ids = g["doc_id"].to_numpy()
-            if ids.size < 2:
-                continue
-            order = np.argsort(ids)
-            ids = ids[order]
-            sizes = g["size"].to_numpy()[order]
-            ii, jj = np.triu_indices(ids.size, k=1)
+        for s0, c in zip(starts[multi], counts[multi]):
+            ids = did[s0 : s0 + c]
+            sizes = sz[s0 : s0 + c]
+            ii, jj = np.triu_indices(int(c), k=1)
             # size filter: J >= t requires min(|a|,|b|) >= t * max(|a|,|b|)
             sa, sb = sizes[ii], sizes[jj]
             ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)

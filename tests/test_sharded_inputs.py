@@ -69,3 +69,20 @@ def test_sharded_join_queries_equal_single_file(ray_session, sharded_dir, name):
     got = _canon(q(sharded_dir))
     want = _canon(q("/root/testdata/sf0.001"))
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["repeated_ngram_stats", "similar_pairs_exact", "segment_urgent_coverage",
+     "group_uniform_sample", "user_feature_matrix"],
+)
+def test_sharded_r4_queries_equal_single_file(ray_session, sharded_dir, name):
+    """Round-4 operators: k-gram windows must not leak across shard
+    boundaries, prefix-filter candidates must dedupe across shards, the
+    LEFT join and hash-rank sample must merge shard partials exactly."""
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    got = _canon(q(sharded_dir))
+    want = _canon(q("/root/testdata/sf0.001"))
+    pd.testing.assert_frame_equal(got, want)
