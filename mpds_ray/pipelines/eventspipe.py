@@ -1734,6 +1734,44 @@ SELECT count(DISTINCT user_id) AS n_distinct_users FROM events
 """
 
 
+def approx_distinct_users_by_type(sf_dir: str):
+    """GROUPED mergeable-sketch distinct: one KMV summary per (batch,
+    event_type), folded per type on the driver — the grouped companion to
+    ``approx_distinct_users``. Driver state is bounded by KMV_K x types x
+    batches (the type domain is fixed); the user-id column itself never
+    leaves the map tasks. Exact while each type's distinct count <= KMV_K
+    (the oracle gate at every test SF), ~1/sqrt(K) relative error beyond."""
+    from ..stages.sketch import kmv_merge_count, kmv_partial
+    from .common import bounded_to_pandas
+
+    ds = read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, g in b.groupby("event_type", sort=False):
+            h = kmv_partial(g["user_id"].to_numpy().astype(np.uint64))
+            frames.append(pd.DataFrame({"event_type": et, "h": h.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = bounded_to_pandas(
+        ds.map_batches(partial, batch_format="pandas"), "kmv_grouped_partials"
+    )
+    out = (
+        parts.groupby("event_type", sort=True)["h"]
+        .apply(lambda s: kmv_merge_count([s.to_numpy().astype(np.uint64)]))
+        .rename("n_distinct_users")
+        .reset_index()
+    )
+    out["n_distinct_users"] = out["n_distinct_users"].astype(np.int64)
+    return out
+
+
+APPROX_DISTINCT_BY_TYPE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 ROLLING_K = 5
 
 
@@ -2206,6 +2244,7 @@ QUERIES = {
     "value_histogram": value_histogram,
     "value_quartile_label": value_quartile_label,
     "approx_distinct_users": approx_distinct_users,
+    "approx_distinct_users_by_type": approx_distinct_users_by_type,
     "props_json_stats": props_json_stats,
     "top_users_per_event_type": top_users_per_event_type,
     "sessionize_user_events": sessionize_user_events,
@@ -2253,6 +2292,7 @@ ORACLE = {
     "value_histogram": HIST_SQL,
     "value_quartile_label": QUARTILE_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
+    "approx_distinct_users_by_type": APPROX_DISTINCT_BY_TYPE_SQL,
     "props_json_stats": PROPS_JSON_SQL,
     "top_users_per_event_type": TOP_USERS_PER_TYPE_SQL,
     "sessionize_user_events": SESSIONIZE_SQL,
