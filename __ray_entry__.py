@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     new_this_round = (
         "repeated_ngram_stats", "similar_pairs_exact", "video_frame_features",
         "segment_urgent_coverage", "group_uniform_sample", "user_feature_matrix",
+        "approx_distinct_users_by_type",
     )
     out: dict[str, Callable[[str], Any]] = {}
     for name in new_this_round:

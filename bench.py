@@ -65,6 +65,7 @@ BENCH_QUERIES = (
     "repeated_ngram_stats",
     "segment_urgent_coverage",
     "group_uniform_sample",
+    "approx_distinct_users_by_type",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot

@@ -1747,11 +1747,12 @@ def approx_distinct_users_by_type(sf_dir: str):
     ds = read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        frames = []
+        frames = [pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                "h": pd.Series([], dtype=np.int64)})]
         for et, g in b.groupby("event_type", sort=False):
             h = kmv_partial(g["user_id"].to_numpy().astype(np.uint64))
             frames.append(pd.DataFrame({"event_type": et, "h": h.astype(np.int64)}))
-        return pd.concat(frames, ignore_index=True)
+        return pd.concat(frames, ignore_index=True)  # zero-row batch safe
 
     parts = bounded_to_pandas(
         ds.map_batches(partial, batch_format="pandas"), "kmv_grouped_partials"
@@ -2185,16 +2186,10 @@ def user_feature_matrix(sf_dir: str):
         new_sess = np.r_[
             True, (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > SESSION_GAP)
         ]
-        df = pd.DataFrame(
-            {
-                "user_id": uid,
-                "ts": ts,
-                "value": g["value"].to_numpy(),
-                "event_type": g["event_type"].to_numpy(),
-                "is_purchase": g["event_type"].to_numpy() == "purchase",
-                "new_sess": new_sess,
-            }
-        )
+        # assign the two derived columns in place of a full-bucket copy —
+        # this is the query's largest frame, held once per reduce task
+        df = g.assign(is_purchase=g["event_type"].to_numpy() == "purchase",
+                      new_sess=new_sess)
         out = df.groupby("user_id", sort=False).agg(
             n_events=("ts", "size"),
             n_sessions=("new_sess", "sum"),

@@ -1235,7 +1235,13 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
         sh, sh_offs = _shingles_flat(flat, offs)
         u, seg, n_uniq = _unique_per_segment(sh, sh_offs)
         doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False)
-        p = n_uniq - np.ceil(threshold * n_uniq).astype(np.int64) + 1
+        # exact integer ceil(t*s): float np.ceil(0.07*100) == 8, one too
+        # high, which would SHORTEN the prefix and break completeness at
+        # non-binary thresholds; thresholds are treated as 6-decimal
+        # rationals (tq/1e6) so the bound is exact
+        tq = int(round(threshold * 1_000_000))
+        ceil_ts = -(-(tq * n_uniq.astype(np.int64)) // 1_000_000)
+        p = n_uniq - ceil_ts + 1
         p = np.minimum(np.maximum(p, 1), n_uniq)
         # per-doc order: rarest (bucketed-df) first, hash tiebreak — a fixed
         # total order shared by every doc, required by the prefix theorem
@@ -1290,9 +1296,13 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
             ids = did[s0 : s0 + c]
             sizes = sz[s0 : s0 + c]
             ii, jj = np.triu_indices(int(c), k=1)
-            # size filter: J >= t requires min(|a|,|b|) >= t * max(|a|,|b|)
-            sa, sb = sizes[ii], sizes[jj]
-            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            # size filter: J >= t requires min(|a|,|b|) >= t * max(|a|,|b|);
+            # exact 6-decimal-rational compare (min*1e6 >= tq*max) — the
+            # float product t*max can exceed the true bound by an ulp and
+            # reject a legitimate candidate
+            sa, sb = sizes[ii].astype(np.int64), sizes[jj].astype(np.int64)
+            tq2 = int(round(threshold * 1_000_000))
+            ok = np.minimum(sa, sb) * 1_000_000 >= tq2 * np.maximum(sa, sb)
             if ok.any():
                 frames.append(
                     pd.DataFrame({"doc_a": ids[ii[ok]], "doc_b": ids[jj[ok]]})

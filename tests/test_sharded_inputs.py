@@ -74,7 +74,8 @@ def test_sharded_join_queries_equal_single_file(ray_session, sharded_dir, name):
 @pytest.mark.parametrize(
     "name",
     ["repeated_ngram_stats", "similar_pairs_exact", "segment_urgent_coverage",
-     "group_uniform_sample", "user_feature_matrix"],
+     "group_uniform_sample", "user_feature_matrix",
+     "approx_distinct_users_by_type"],
 )
 def test_sharded_r4_queries_equal_single_file(ray_session, sharded_dir, name):
     """Round-4 operators: k-gram windows must not leak across shard

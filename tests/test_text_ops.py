@@ -356,18 +356,21 @@ def test_similar_pairs_exact_complete_vs_brute(ray_session, tmp_path):
     for t in texts:
         toks = np.array([tokenize_words_py(w) for w in t.split(" ")], dtype=np.int64)
         sets.append(set(_shingles(toks).tolist()))
-    want = set()
-    for i in range(len(sets)):
-        for j in range(i + 1, len(sets)):
-            inter = len(sets[i] & sets[j])
-            if inter and inter / (len(sets[i]) + len(sets[j]) - inter) >= 0.5:
-                want.add((i, j))
-    assert want, "fixture must plant qualifying pairs"
+    # threshold 0.3 is NOT binary-representable — regression for the float
+    # ceil/size-filter bugs (np.ceil(0.07*100)==8 class); 0.5 is the default
+    for t in (0.5, 0.3):
+        want = set()
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                inter = len(sets[i] & sets[j])
+                if inter and inter / (len(sets[i]) + len(sets[j]) - inter) >= t:
+                    want.add((i, j))
+        assert want, "fixture must plant qualifying pairs"
 
-    out = similar_pairs_exact(str(tmp_path), threshold=0.5)
-    got = set(zip(out["doc_a"], out["doc_b"]))
-    assert got == want
-    assert (out["jaccard"] >= 0.5).all()
+        out = similar_pairs_exact(str(tmp_path), threshold=t)
+        got = set(zip(out["doc_a"], out["doc_b"]))
+        assert got == want
+        assert (out["jaccard"] >= t).all()
 
 
 def test_repeated_ngram_stats_planted(ray_session, tmp_path):
