@@ -910,6 +910,11 @@ def _pairwise_jaccard(
     return np.where(inter > 0, inter / np.where(union > 0, union, 1), 0.0)
 
 
+EMPTY_PAIR_TABLE = pa.table(
+    {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+)  # shared empty candidate-pair schema (banding, ssjoin, verify tail)
+
+
 def minhash_dup_candidates(sf_dir: str, threshold: float = 0.5):
     """Banded-LSH candidate pairs + exact shingle-Jaccard verification —
     fully scale-safe end to end: signatures are segment-vectorized per batch,
@@ -952,9 +957,7 @@ def minhash_dup_candidates(sf_dir: str, threshold: float = 0.5):
     def sig_map(t: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(sig_batch(t), preserve_index=False)
 
-    _EMPTY_PAIRS = pa.table(
-        {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
-    )
+    _EMPTY_PAIRS = EMPTY_PAIR_TABLE
 
     def bucket_pairs_reduce(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas().drop_duplicates()
@@ -1030,9 +1033,7 @@ def _verify_pairs_exact(
     from ..stages.exchange import exchange_map
     from ..stages.hashjoin import rebucket_refs
 
-    _EMPTY_PAIRS = pa.table(
-        {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
-    )
+    _EMPTY_PAIRS = EMPTY_PAIR_TABLE
     n_pb = len(pair_refs)
     vb_grid = rebucket_refs(pair_refs, "doc_a", n_vb)
 
@@ -1186,10 +1187,14 @@ SSJOIN_THRESHOLD = 0.5
 def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
     """EXACT all-pairs shingle-Jaccard >= t via PREFIX FILTERING — the
     lossless complement to the MinHash path (same output schema, no LSH
-    recall caveat): each doc emits only its p = s - ceil(t*s) + 1 smallest
-    shingle hashes (prefix theorem: two sets with J >= t must share a
-    prefix element under ANY fixed total order — the hash order needs no
-    global frequency pass); candidate pairs form per shared prefix shingle
+    recall caveat). The committed contract is on the 6-dp-ROUNDED Jaccard
+    (round(J, 6) >= t, matching the SQL oracle and the repo's round(6)
+    ulp-pinning convention; candidate pruning uses the FLOORED rational
+    t, so pruning is never stricter than the final filter — complete).
+    Each doc emits only its p = s - ceil(t*s) + 1 FIRST shingles in the
+    shared total order (prefix theorem: two sets with J >= t must share a
+    prefix element under any fixed total order); candidate pairs form per
+    shared prefix shingle
     with the size filter min >= t * max, stay in plasma, and run through
     the shared exchange-routed exact-verify tail (``_verify_pairs_exact``).
     Prefix ORDER is frequency-ascending (the Vernica et al. heuristic):
@@ -1210,6 +1215,12 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
     shards = shard_list(sf_dir, "documents")
     n_tb = 8  # prefix-shingle buckets
     DF_BUCKETS = 1 << 20
+    # threshold as a 6-decimal rational, FLOORED: tq/1e6 <= threshold, so
+    # the derived prefix is never shorter (and the size filter never
+    # stricter) than the requested float threshold demands — rounding UP
+    # here would silently drop qualifying pairs. The final filter is the
+    # verify tail's exact 6-dp-rounded Jaccard >= threshold.
+    tq = int(threshold * 1_000_000)
 
     @ray.remote
     def shard_df(path: str) -> np.ndarray:
@@ -1224,9 +1235,13 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
             (u % np.uint64(DF_BUCKETS)).astype(np.int64), minlength=DF_BUCKETS
         ).astype(np.uint32)
 
+    # incremental ray.wait fold: driver holds TWO 4 MB arrays at any moment
+    # (the running sum + one arriving partial), not n_shards of them
     df_counts = np.zeros(DF_BUCKETS, dtype=np.uint64)
-    for part in ray.get([shard_df.remote(p) for p in shards]):
-        df_counts += part
+    pending = [shard_df.remote(p) for p in shards]
+    while pending:
+        done, pending = ray.wait(pending, num_returns=1)
+        df_counts += ray.get(done[0])
     df_ref = ray.put(df_counts.astype(np.uint32))
 
     def prefix_map(batch: pa.Table) -> pa.Table:
@@ -1235,11 +1250,8 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
         sh, sh_offs = _shingles_flat(flat, offs)
         u, seg, n_uniq = _unique_per_segment(sh, sh_offs)
         doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False)
-        # exact integer ceil(t*s): float np.ceil(0.07*100) == 8, one too
-        # high, which would SHORTEN the prefix and break completeness at
-        # non-binary thresholds; thresholds are treated as 6-decimal
-        # rationals (tq/1e6) so the bound is exact
-        tq = int(round(threshold * 1_000_000))
+        # exact integer ceil((tq/1e6)*s): float np.ceil(0.07*100) == 8, one
+        # too high, which would SHORTEN the prefix and break completeness
         ceil_ts = -(-(tq * n_uniq.astype(np.int64)) // 1_000_000)
         p = n_uniq - ceil_ts + 1
         p = np.minimum(np.maximum(p, 1), n_uniq)
@@ -1268,9 +1280,7 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
         shards, prefix_map, tb_bucket_fn, n_tb, columns=["doc_id", "text", "source"],
     )
 
-    _EMPTY = pa.table(
-        {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
-    )
+    _EMPTY = EMPTY_PAIR_TABLE
 
     @ray.remote
     def candidates_bucket(*parts: pa.Table) -> pa.Table:
@@ -1299,10 +1309,10 @@ def similar_pairs_exact(sf_dir: str, threshold: float = SSJOIN_THRESHOLD):
             # size filter: J >= t requires min(|a|,|b|) >= t * max(|a|,|b|);
             # exact 6-decimal-rational compare (min*1e6 >= tq*max) — the
             # float product t*max can exceed the true bound by an ulp and
-            # reject a legitimate candidate
+            # reject a legitimate candidate (tq is the floored scope-level
+            # constant, shared with the prefix length)
             sa, sb = sizes[ii].astype(np.int64), sizes[jj].astype(np.int64)
-            tq2 = int(round(threshold * 1_000_000))
-            ok = np.minimum(sa, sb) * 1_000_000 >= tq2 * np.maximum(sa, sb)
+            ok = np.minimum(sa, sb) * 1_000_000 >= tq * np.maximum(sa, sb)
             if ok.any():
                 frames.append(
                     pd.DataFrame({"doc_a": ids[ii[ok]], "doc_b": ids[jj[ok]]})
@@ -1336,8 +1346,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.s, b.s)) * 1.0 /
              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {SSJOIN_THRESHOLD}
+WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {SSJOIN_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
