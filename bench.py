@@ -128,23 +128,29 @@ def run_headline() -> tuple[float, int, float]:
     # several-x with co-tenant load (BASELINE.md §3); the min is the host's
     # quiet-window capability, the quantity comparable across levels/rounds.
     out_dir = f"/tmp/mpds_bench_out/{NUM_CPUS}.{os.getpid()}"
-    secs = min(one_run(out_dir) for _ in range(HEADLINE_TRIALS))
-
-    # chunked-reduce leg (VERDICT r3 'Missing' #3): the BOUNDED-MEMORY reduce
-    # (peak reduce heap = 2 chunks, not the bucket) is the configuration a
-    # 100x-scale run would use; publish its overhead vs the flat reduce so
-    # the flat/chunked switch point is a measured number. chunk_rows is
-    # data-derived: ~4 streamed chunks per reduce bucket.
     if os.environ.get("MPDS_BENCH_HEADLINE_ONLY"):
         # scaling subprocesses time the flat headline only (same plan at
         # both parallelism levels); skip the chunked leg there
+        secs = min(one_run(out_dir) for _ in range(HEADLINE_TRIALS))
         shutil.rmtree(out_dir, ignore_errors=True)
         return secs, n_rows, float("nan")
+
+    # chunked-reduce leg (VERDICT r3 'Missing' #3): the BOUNDED-MEMORY reduce
+    # (peak reduce heap = 2 chunks, not the bucket) is the configuration a
+    # 100x-scale run would use; publish its overhead vs the flat reduce.
+    # Trials are INTERLEAVED (flat, chunked, flat, chunked, ...) so both
+    # legs sample the same host windows — running all chunked trials after
+    # all flat ones once attributed a co-tenant DRAM storm entirely to the
+    # chunked leg (apparent 5.5x "overhead"; interleaved A/B showed the two
+    # paths within noise of each other). chunk_rows is data-derived:
+    # ~4 streamed chunks per reduce bucket.
     chunk_rows = max(4096, n_rows // (64 * 4))
-    chunked_secs = min(
-        one_run(out_dir, chunk_rows=chunk_rows)
-        for _ in range(max(2, HEADLINE_TRIALS // 2))
-    )
+    flat_times, chunked_times = [], []
+    for _ in range(HEADLINE_TRIALS):
+        flat_times.append(one_run(out_dir))
+        chunked_times.append(one_run(out_dir, chunk_rows=chunk_rows))
+    secs = min(flat_times)
+    chunked_secs = min(chunked_times)
     shutil.rmtree(out_dir, ignore_errors=True)
     return secs, n_rows, chunked_secs
 
