@@ -27,6 +27,11 @@ def valid(trial: dict, controls: dict, best_clock: float) -> tuple[bool, str]:
     eff = trial["eff"]
     if eff < 0.8:
         return False, f"eff {eff} < 0.8"
+    if eff > 1.1:
+        # super-linear speedup means the LOW leg was degraded in a way the
+        # clock probes missed — the pair overestimates scaling; reject it
+        # the same way r3 rejected its 1.393 "too good" pair
+        return False, f"eff {eff} > 1.1 (super-linear: low leg degraded)"
     if controls.get("compute", 0.0) < 0.9:
         return False, f"compute ctl {controls.get('compute')} < 0.9"
     clocks = trial.get("clocks") or []
