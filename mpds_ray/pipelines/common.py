@@ -234,6 +234,22 @@ def topk_driver(ds, k: int, by: list[str], ascending: list[bool]) -> pd.DataFram
     )
 
 
+def round_half_away(x, decimals: int = 6):
+    """DuckDB-exact ``round(x, d)``: half-AWAY-from-zero applied to the
+    double ``x * 10**d`` (DuckDB evaluates ``std::round(value * 10^d) /
+    10^d``), where numpy's ``round`` is half-EVEN. The two differ only when
+    the scaled double lands exactly on ``.5`` — e.g. a mean of 44.7590625
+    (the single red hash in CORRECTNESS r4). Use this, not ``np.round``,
+    whenever the oracle SQL rounds a value the engine computes from the
+    SAME double (exact int-cents accumulation on both sides guarantees
+    that). Vectorized; exact while ``|x| * 10^d < 2^52``."""
+    x = np.asarray(x, dtype=np.float64)
+    p = np.float64(10.0**decimals)
+    w = np.abs(x) * p
+    f = np.floor(w)
+    return np.sign(x) * (f + (w - f >= 0.5)) / p
+
+
 def round_columns(ds, decimals: dict[str, int]):
     def _round(batch: pd.DataFrame) -> pd.DataFrame:
         for c, d in decimals.items():

@@ -2141,14 +2141,19 @@ def user_event_pivot(sf_dir: str):
         b = t.select(["user_id", "event_type", "value"]).to_pandas()
         for et in EVENT_TYPES:
             b[f"n_{et}"] = (b["event_type"] == et).astype(np.int64)
+        # exact int-cents accumulation: float partial sums are order-
+        # sensitive and driver-red at a 6-dp rounding boundary (X88 lesson)
+        b["cents"] = np.rint(b.pop("value").to_numpy() * 100).astype(np.int64)
         g = b.groupby("user_id", as_index=False, sort=False)[
-            [f"n_{et}" for et in EVENT_TYPES] + ["value"]
+            [f"n_{et}" for et in EVENT_TYPES] + ["cents"]
         ].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def reduce_fn(bkt: int, tbl) -> pd.DataFrame:
+        from .common import round_half_away
+
         g = tbl.to_pandas().groupby("user_id", as_index=False, sort=False).sum()
-        g["total_value"] = g.pop("value").round(6)
+        g["total_value"] = round_half_away(g.pop("cents") / 100.0)
         return g
 
     out = hash_exchange(
@@ -2165,7 +2170,7 @@ SELECT user_id,
        count(*) FILTER (event_type = 'purchase') AS n_purchase,
        count(*) FILTER (event_type = 'signup') AS n_signup,
        count(*) FILTER (event_type = 'view') AS n_view,
-       round(sum(value), 6) AS total_value
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS total_value
 FROM events GROUP BY user_id
 """
 
@@ -2186,23 +2191,36 @@ def user_feature_matrix(sf_dir: str):
         new_sess = np.r_[
             True, (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > SESSION_GAP)
         ]
-        # assign the two derived columns in place of a full-bucket copy —
-        # this is the query's largest frame, held once per reduce task
+        # assign the derived columns in place of a full-bucket copy — this
+        # is the query's largest frame, held once per reduce task. value is
+        # accumulated as exact int64 CENTS: a float sum is order-sensitive,
+        # and round(6) cannot pin a mean that lands exactly on a .5 boundary
+        # (user-25 44.7590625 was r4's only driver-red hash). One division
+        # of two exact integers = one correctly-rounded double, identical to
+        # the oracle's BIGINT-cents formulation — then DuckDB's half-away
+        # rounding is replicated by round_half_away.
+        from .common import round_half_away
+
         df = g.assign(is_purchase=g["event_type"].to_numpy() == "purchase",
-                      new_sess=new_sess)
+                      new_sess=new_sess,
+                      cents=np.rint(g["value"].to_numpy() * 100).astype(np.int64))
         out = df.groupby("user_id", sort=False).agg(
             n_events=("ts", "size"),
             n_sessions=("new_sess", "sum"),
             n_types=("event_type", "nunique"),
             n_purchases=("is_purchase", "sum"),
-            total_value=("value", "sum"),
-            mean_value=("value", "mean"),
+            total_cents=("cents", "sum"),
             first_ts=("ts", "min"),
             last_ts=("ts", "max"),
         )
+        total_cents = out.pop("total_cents").to_numpy()
         out["span_s"] = out["last_ts"] - out["first_ts"]
-        for c in ("total_value", "mean_value", "first_ts", "last_ts", "span_s"):
-            out[c] = np.round(out[c], 6)
+        out["total_value"] = round_half_away(total_cents / 100.0)
+        out["mean_value"] = round_half_away(
+            total_cents / (100.0 * out["n_events"].to_numpy())
+        )
+        for c in ("first_ts", "last_ts", "span_s"):
+            out[c] = round_half_away(out[c])
         for c in ("n_events", "n_sessions", "n_types", "n_purchases"):
             out[c] = out[c].astype(np.int64)
         return out.reset_index()
@@ -2224,8 +2242,9 @@ SELECT user_id,
        count(*) FILTER (WHERE brk = 1) AS n_sessions,
        count(DISTINCT event_type) AS n_types,
        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
-       round(sum(value), 6) AS total_value,
-       round(avg(value), 6) AS mean_value,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS total_value,
+       round(sum(CAST(round(value * 100) AS BIGINT))
+             / (100.0 * count(*)), 6) AS mean_value,
        round(min(ts), 6) AS first_ts,
        round(max(ts), 6) AS last_ts,
        round(max(ts) - min(ts), 6) AS span_s

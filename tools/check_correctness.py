@@ -1,6 +1,12 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 and its oracle_sql() on the same sf_dir, compare row count + (sorted-column)
 value content. Usage: python tools/check_correctness.py [sf_dir] [names...]
+
+Float columns are compared BIT-EXACT by default — the driver's gate is an
+exact value hash, and the old atol=2e-6 default passed X88 locally five
+times while it was driver-red (VERDICT r4 'What's wrong' #2). Pass
+--allclose to get the loose compare back for debugging only; a PASS in
+that mode is NOT evidence the driver gate will be green.
 """
 
 from __future__ import annotations
@@ -23,10 +29,14 @@ def to_pandas(res) -> pd.DataFrame:
     return res.to_pandas()  # ray Dataset
 
 
+ALLCLOSE = False  # set by --allclose; default is the driver-faithful exact mode
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
+        if pd.api.types.is_float_dtype(df[c]) and ALLCLOSE:
+            # rounding here masks exact-hash bugs; only the loose mode does it
             df[c] = df[c].round(6)
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
@@ -56,17 +66,18 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         for c in g.columns:
             a, b = g[c].to_numpy(), w[c].to_numpy()
             if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(w[c]):
-                ok = np.allclose(
-                    a.astype(float), b.astype(float), atol=2e-6, rtol=1e-9, equal_nan=True
-                )
+                af, bf = a.astype(float), b.astype(float)
+                if ALLCLOSE:
+                    okmask = np.isclose(af, bf, atol=2e-6, rtol=1e-9, equal_nan=True)
+                else:
+                    # driver-faithful: bit-equal (NaN == NaN)
+                    okmask = (af == bf) | (np.isnan(af) & np.isnan(bf))
+                ok = bool(okmask.all())
             else:
-                ok = (pd.Series(a).fillna("\0") == pd.Series(b).fillna("\0")).all()
+                okmask = (pd.Series(a).fillna("\0") == pd.Series(b).fillna("\0")).to_numpy()
+                ok = bool(okmask.all())
             if not ok:
-                bad = np.flatnonzero(
-                    ~np.isclose(a.astype(float), b.astype(float), atol=2e-6, equal_nan=True)
-                    if pd.api.types.is_float_dtype(g[c])
-                    else (pd.Series(a).fillna("\0") != pd.Series(b).fillna("\0")).to_numpy()
-                )[:3]
+                bad = np.flatnonzero(~okmask)[:3]
                 problems.append(
                     f"col {c}: {len(bad)}+ mismatches, first rows {bad.tolist()} "
                     f"got={a[bad].tolist()} want={b[bad].tolist()}"
@@ -75,8 +86,11 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global ALLCLOSE
+    argv = [a for a in sys.argv[1:] if a != "--allclose"]
+    ALLCLOSE = "--allclose" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
