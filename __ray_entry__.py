@@ -59,32 +59,51 @@ def entry() -> Any:
     )
 
 
-# Names that already carry a green driver CORRECTNESS row (rounds 1-3).
-# The driver gate truncates at the first 50 enumerated queries, so entries
-# NOT in this set are enumerated first to rotate fresh surface into the gate
-# each round (VERDICT r3 top item).
-_GATED_BEFORE_R4 = frozenset({
-    "monthly_order_revenue", "monthly_revenue_cumshare",
-    "urgent_order_month_revenue", "q1_pricing_summary", "q3_top_orders",
-    "q5_region_nation_revenue", "large_order_customers",
+# Round-5 gate head (the driver truncates its CORRECTNESS gate at the first
+# 50 enumerated queries). Composition, in priority order (VERDICT r4 'Next
+# round' #2 + ADVICE r4 #4):
+#   1-7   the seven queries that never earned a driver-green row in r1-r4
+#         (X21/X24/X25/X36/X37/X42 were never gated; X88 user_feature_matrix
+#         was red in r4 and is re-gated after the int-cents fix);
+#   8     session_spectral_features — NEW this round, drives the W9/W10/W11
+#         DFA / Lomb-Scargle / Welch-pitch kernel block through a driver-
+#         gated independent golden (VERDICT r4 'Next round' #7);
+#   9-13  canaries: previously-green queries whose code or oracle this
+#         round's diff touches (user_event_pivot oracle restated in
+#         int-cents; similar_pairs_exact fan-out de-hardcoded and
+#         minhash_dup_candidates shares its verify tail;
+#         approx_distinct_users_by_type / flagship_session_summary got the
+#         ADVICE r4 precondition asserts);
+#   14-50 rounds-1-3 greens — the OLDEST gate evidence on record (every r4
+#         green was just re-proven last round), refreshed here so a silent
+#         regression in the mature surface stays driver-visible.
+_R5_GATE_HEAD = (
+    # --- never driver-green (r1-r4) ---
+    "user_feature_matrix", "latest_event_per_user_type",
+    "nearest_purchase_for_views", "user_value_trend",
+    "views_before_purchase", "rolling_value_mean", "event_value_zscore",
+    # --- new this round ---
+    "session_spectral_features",
+    # --- canaries for this round's diff ---
+    "user_event_pivot", "similar_pairs_exact", "minhash_dup_candidates",
+    "approx_distinct_users_by_type", "flagship_session_summary",
+    # --- rounds-1-3 greens, oldest evidence first ---
+    "q1_pricing_summary", "q3_top_orders", "q5_region_nation_revenue",
+    "monthly_order_revenue", "large_order_customers",
     "returned_item_revenue", "nation_pair_trade", "priority_ship_lag_counts",
-    "late_order_priority_counts", "rich_customers_without_orders",
-    "customer_order_distribution", "lineitem_corr_by_flag",
-    "rollup_sales_by_flag_status", "cube_sales_by_flag_status",
-    "part_type_revenue_share", "small_quantity_revenue",
-    "customers_per_region", "top_customers_by_max_order",
-    "distinct_segments", "event_type_counts", "value_quantiles",
+    "rich_customers_without_orders", "customer_order_distribution",
+    "lineitem_corr_by_flag", "rollup_sales_by_flag_status",
+    "cube_sales_by_flag_status", "part_type_revenue_share",
+    "top_customers_by_max_order", "event_type_counts", "value_quantiles",
     "value_median_exact", "grouped_value_quantiles",
     "customers_without_orders", "building_order_stats", "mpds_scaled_orders",
-    "kfold_counts", "user_event_pivot", "value_histogram",
-    "value_quartile_label", "approx_distinct_users", "props_json_stats",
+    "kfold_counts", "value_histogram", "approx_distinct_users",
     "top_users_per_event_type", "sessionize_user_events", "session_funnel",
     "user_value_lag_lead", "user_mode_event_type", "user_value_percent_rank",
-    "user_time_weighted_value", "user_value_ewma", "event_type_user_reach",
-    "event_type_cooccurrence", "user_value_dense_rank",
+    "user_time_weighted_value", "user_value_ewma", "event_type_cooccurrence",
     "user_retention_cohorts", "hourly_user_value_grid",
-    "signup_view_purchase_funnel", "user_median_gap", "session_bounce_rate",
-})
+    "monthly_revenue_cumshare",
+)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -103,23 +122,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged.update(eventspipe.QUERIES)
     merged.update(relational.QUERIES)
 
-    # operators NEW this round lead (they have no verification history at
-    # all), then the rest of the never-gated surface, then rounds-1-3 green
-    # rows — the driver gate truncates at 50 enumerated queries
-    new_this_round = (
-        "repeated_ngram_stats", "similar_pairs_exact", "video_frame_features",
-        "segment_urgent_coverage", "group_uniform_sample", "user_feature_matrix",
-        "approx_distinct_users_by_type",
-    )
+    # explicit round-5 head (see _R5_GATE_HEAD rationale above), then the
+    # remaining surface in module order — every name past the driver's
+    # 50-row truncation already carries a round-4 green row
     out: dict[str, Callable[[str], Any]] = {}
-    for name in new_this_round:
+    for name in _R5_GATE_HEAD:
         if name in merged:
             out[name] = merged[name]
-    for name, fn in merged.items():          # never-gated surface next
-        if name not in _GATED_BEFORE_R4 and name not in out:
-            out[name] = fn
-    for name, fn in merged.items():          # rounds-1-3 green rows last
-        if name in _GATED_BEFORE_R4 and name not in out:
+    for name, fn in merged.items():
+        if name not in out:
             out[name] = fn
     return out
 

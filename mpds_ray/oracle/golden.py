@@ -29,6 +29,7 @@ GOLDEN_QUERIES = (
     "embedding_near_dups_lsh",
     "media_decode_features",
     "video_frame_features",
+    "session_spectral_features",
 )
 
 
