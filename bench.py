@@ -75,6 +75,30 @@ SALT = os.environ.get("MPDS_BENCH_SALT", "1") != "0"
 # a contended window more often than not (the r2 driver artifact was a
 # min-of-2 at 2.15x the same build's committed capability)
 HEADLINE_TRIALS = int(os.environ.get("MPDS_BENCH_TRIALS", "5"))
+# adaptive extension cap: when even 5 trials land in one long DRAM storm
+# (the r4 driver window: min-of-5 returned 2.36x the same build's committed
+# quiet-window wall), keep sampling until the min REPRODUCES (two fastest
+# within 10%) or this many total trials — extending the sampled window a
+# couple of minutes is the only lever against storms longer than the bench
+MAX_HEADLINE_TRIALS = int(os.environ.get("MPDS_BENCH_MAX_TRIALS", "9"))
+
+
+def host_clock() -> float:
+    """Fixed single-thread cache-resident workload wall time — a host
+    'speedometer'. Sampled around the timed trials and PUBLISHED in the
+    bench JSON so a contended driver window is readable from the artifact
+    itself (BASELINE.md §3: deliverable throughput swings >2x with
+    co-tenant load; quiet-window clock on this box ~0.050-0.055 s, storms
+    push it past 0.15 — r4 hunt ledger range 0.050-0.302)."""
+    import numpy as _np
+
+    x = _np.arange(1 << 18, dtype=_np.float64)
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(150):
+        acc += float((x * 1.0000001 + 0.5).sum())
+    assert acc == acc
+    return round(time.perf_counter() - t0, 4)
 
 
 def run_headline() -> tuple[float, int, float]:
@@ -133,7 +157,7 @@ def run_headline() -> tuple[float, int, float]:
         # both parallelism levels); skip the chunked leg there
         secs = min(one_run(out_dir) for _ in range(HEADLINE_TRIALS))
         shutil.rmtree(out_dir, ignore_errors=True)
-        return secs, n_rows, float("nan")
+        return secs, n_rows, float("nan"), [], []
 
     # chunked-reduce leg (VERDICT r3 'Missing' #3): the BOUNDED-MEMORY reduce
     # (peak reduce heap = 2 chunks, not the bucket) is the configuration a
@@ -145,14 +169,25 @@ def run_headline() -> tuple[float, int, float]:
     # paths within noise of each other). chunk_rows is data-derived:
     # ~4 streamed chunks per reduce bucket.
     chunk_rows = max(4096, n_rows // (64 * 4))
-    flat_times, chunked_times = [], []
+    flat_times, chunked_times, clocks = [], [], [host_clock()]
     for _ in range(HEADLINE_TRIALS):
         flat_times.append(one_run(out_dir))
         chunked_times.append(one_run(out_dir, chunk_rows=chunk_rows))
+        clocks.append(host_clock())
+    # adaptive extension: a min is only evidence when it REPRODUCES — if the
+    # two fastest flat trials disagree by >10% the whole 5-trial window was
+    # likely one storm, so keep sampling (still interleaved) up to the cap
+    while len(flat_times) < MAX_HEADLINE_TRIALS:
+        two = sorted(flat_times)[:2]
+        if two[1] <= two[0] * 1.10:
+            break
+        flat_times.append(one_run(out_dir))
+        chunked_times.append(one_run(out_dir, chunk_rows=chunk_rows))
+        clocks.append(host_clock())
     secs = min(flat_times)
     chunked_secs = min(chunked_times)
     shutil.rmtree(out_dir, ignore_errors=True)
-    return secs, n_rows, chunked_secs
+    return secs, n_rows, chunked_secs, [round(t, 3) for t in flat_times], clocks
 
 
 def run_queries() -> dict[str, float]:
@@ -196,7 +231,7 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    secs, n_rows, chunked_secs = run_headline()
+    secs, n_rows, chunked_secs, flat_trials, clocks = run_headline()
     queries = {} if os.environ.get("MPDS_BENCH_HEADLINE_ONLY") else run_queries()
     print(
         json.dumps(
@@ -215,6 +250,11 @@ def main() -> None:
                 "chunked_overhead": (
                     round(chunked_secs / secs, 3) if chunked_secs == chunked_secs else None
                 ),
+                # per-trial walls + host speedometer samples: makes window
+                # contention readable from the artifact (quiet clock on this
+                # box ~0.050-0.055 s; see BASELINE.md §3)
+                "headline_trials": flat_trials,
+                "host_clocks": clocks,
             }
         )
     )
@@ -319,22 +359,12 @@ def scaling() -> None:
     # is the back-to-back PAIR measured in the same window: report the pair
     # with the smallest combined wall (the both-quiet proxy, the r1
     # protocol), with every trial published alongside.
-    def clock() -> float:
-        """Fixed single-thread cache-resident workload wall time — a host
-        'speedometer' sampled immediately before/between/after the two level
-        runs, so a pair whose LO run landed in a throttled window (inflating
-        the ratio) is distinguishable from a genuinely quiet pair: a valid
-        quiet-window pair has all three clocks within ~15% of each other AND
-        near the session's fastest clock."""
-        import numpy as _np
-
-        x = _np.arange(1 << 18, dtype=_np.float64)
-        t0 = time.perf_counter()
-        acc = 0.0
-        for _ in range(150):
-            acc += float((x * 1.0000001 + 0.5).sum())
-        assert acc == acc
-        return round(time.perf_counter() - t0, 4)
+    # host 'speedometer' sampled immediately before/between/after the two
+    # level runs, so a pair whose LO run landed in a throttled window
+    # (inflating the ratio) is distinguishable from a genuinely quiet pair:
+    # a valid pair has all three clocks within ~15% of each other AND near
+    # the session's fastest clock
+    clock = host_clock
 
     pairs: list[tuple[dict, dict]] = []
     controls: list[dict] = []

@@ -1780,7 +1780,7 @@ def approx_distinct_users(sf_dir: str):
     (stages/sketch.py): each map batch ships its KMV_K smallest distinct
     user-id hashes (k uint64s — never the id column), the driver folds the
     partials. Exact (bijective-hash set fold) whenever the true distinct
-    count is <= KMV_K — the sf0.01/sf0.1 oracle gate — with a
+    count is strictly < KMV_K — the sf0.01/sf0.1 oracle gate — with a
     ~1/sqrt(KMV_K) relative-error estimate beyond, so driver memory is k x
     batches no matter how many distinct users the corpus has."""
     from ..stages.sketch import kmv_merge_count, kmv_partial
@@ -1810,8 +1810,12 @@ def approx_distinct_users_by_type(sf_dir: str):
     event_type), folded per type on the driver — the grouped companion to
     ``approx_distinct_users``. Driver state is bounded by KMV_K x types x
     batches (the type domain is fixed); the user-id column itself never
-    leaves the map tasks. Exact while each type's distinct count <= KMV_K
-    (the oracle gate at every test SF), ~1/sqrt(K) relative error beyond."""
+    leaves the map tasks. Exact while each type's distinct count is
+    STRICTLY < KMV_K (``kmv_merge_count`` switches to the estimator when
+    the folded union reaches k — at exactly k distinct a partial may have
+    truncated; ADVICE r4 #2). The oracle gate holds at every test SF with
+    wide margin (<= 1500 distinct users vs K = 8192); ~1/sqrt(K) relative
+    error beyond."""
     from ..stages.sketch import kmv_merge_count, kmv_partial
     from .common import bounded_to_pandas
 

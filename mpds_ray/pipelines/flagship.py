@@ -806,6 +806,15 @@ def flagship_session_summary(sf_dir: str) -> pd.DataFrame:
     def to_tokens(batch: pa.Table) -> pa.Table:
         t = tokenize_batch(batch)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the synthetic axis is injective ONLY for doc_id < 1e6; beyond
+        # that, ts collisions make as-of / session tie order ambiguous and
+        # the DuckDB gate could diverge nondeterministically — fail loudly
+        # instead of flaking (ADVICE r4 #3)
+        if ids.size and ids.max() >= 1_000_000:
+            raise ValueError(
+                "flagship_session_summary's ts = (doc_id*9973) % 1e6 axis "
+                f"requires doc_id < 1_000_000; got max {ids.max()}"
+            )
         ts = (ids * 9973) % 1_000_000
         return t.append_column("ts", pa.array(ts, type=pa.int64()))
 
