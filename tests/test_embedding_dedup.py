@@ -117,3 +117,21 @@ def test_knn_label_vote_consistent_with_top10(ray_session, sf_dir):
     out = knn_label_vote(sf_dir)
     assert dict(zip(out.label, out.n_neighbors)) == expected
     assert out.n_neighbors.sum() == len(top)
+
+
+def test_exact_path_refuses_beyond_baseline_bound(tmp_path):
+    """The exact all-pairs miner is baseline-only: past 250k vectors it must
+    fail loudly (pointing at the LSH scale path) instead of launching an
+    O(B^2) block-pair task storm (VERDICT r4 'What's wrong' #4). The guard
+    reads parquet METADATA only, so the oversized fixture is one cheap
+    int column."""
+    import pytest
+
+    from mpds_ray.pipelines.knn import embedding_near_dups
+
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(250_001, dtype=np.int64))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    with pytest.raises(ValueError, match="embedding_near_dups_lsh"):
+        embedding_near_dups(str(tmp_path))
