@@ -27,14 +27,25 @@ def q1_pricing_summary(sf_dir: str):
 
     from .common import shard_groupby_sum
 
+    from .common import round_half_away
+
     def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
+        # exact integer units (the X88 lesson, found again here by the
+        # round-6-canonical local gate at sf0.001: a float
+        # sum(ext*(1-disc)) landed exactly on a .xx5 cent boundary where
+        # np.round half-even gives .96 and DuckDB half-away gives .97).
+        # cents x discount-hundredths keeps every partial sum an int64 —
+        # order-insensitive, and one final division yields the identical
+        # double the oracle's BIGINT formulation produces.
+        e_c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d_h = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return b.assign(cents_base=e_c, disc_h=d_h, dp4=e_c * (100 - d_h))
 
     agg = shard_groupby_sum(
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus"],
-        {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
-         "disc_price": "sum_disc_price", "l_discount": "sum_disc"},
+        {"l_quantity": "sum_qty", "cents_base": "cents_base",
+         "dp4": "dp4", "disc_h": "disc_h"},
         count_as="count_order",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -42,24 +53,33 @@ def q1_pricing_summary(sf_dir: str):
         filter_cols=("l_shipdate",),
         prep=prep,
     )
-    agg["avg_qty"] = (agg["sum_qty"] / agg["count_order"]).round(6)
-    agg["avg_price"] = (agg["sum_base_price"] / agg["count_order"]).round(6)
-    agg["avg_disc"] = (agg["sum_disc"] / agg["count_order"]).round(6)
-    agg = agg.drop(columns=["sum_disc"])
-    for c, d in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2)):
-        agg[c] = agg[c].round(d)
+    n = agg["count_order"].to_numpy()
+    cents = agg.pop("cents_base").to_numpy()
+    dp4 = agg.pop("dp4").to_numpy()
+    disc_h = agg.pop("disc_h").to_numpy()
+    agg["sum_qty"] = np.round(agg["sum_qty"], 2)  # integer-valued, exact
+    agg["sum_base_price"] = round_half_away(cents / 100.0, 2)
+    agg["sum_disc_price"] = round_half_away(dp4 / 10_000.0, 2)
+    agg["avg_qty"] = round_half_away(agg["sum_qty"].to_numpy() / n)
+    agg["avg_price"] = round_half_away(cents / (100.0 * n))
+    agg["avg_disc"] = round_half_away(disc_h / (100.0 * n))
     return agg
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                                                          AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2)                                AS sum_disc_price,
        count(*)                                           AS count_order,
        round(avg(l_quantity), 6)                          AS avg_qty,
-       round(avg(l_extendedprice), 6)                     AS avg_price,
-       round(avg(l_discount), 6)                          AS avg_disc
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             / (100.0 * count(*)), 6)                     AS avg_price,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT))
+             / (100.0 * count(*)), 6)                     AS avg_disc
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
