@@ -1168,7 +1168,11 @@ def _verify_pairs_exact(
             pos[pairs["doc_a"].to_numpy()].to_numpy(),
             pos[pairs["doc_b"].to_numpy()].to_numpy(),
         )
-        out = pairs.assign(jaccard=np.round(jac, 6))
+        # half-away like the DuckDB SSJOIN oracle: pair Jaccards are ratios
+        # of small ints and can sit exactly on a 6-dp half boundary
+        from .common import round_half_away
+
+        out = pairs.assign(jaccard=round_half_away(jac))
         return out[out["jaccard"] >= threshold]
 
     out_refs = [
@@ -1391,7 +1395,14 @@ def ngram_jaccard_vs_doc0(sf_dir: str):
         inter = np.bincount(seg[np.isin(u, ref)], minlength=n_uniq.size)
         denom = n_uniq + ref.size - inter
         out = np.where(inter > 0, inter / np.where(denom > 0, denom, 1), 0.0)
-        return pa.table({"doc_id": tok["doc_id"], "jaccard_vs_doc0": pa.array(np.round(out, 6))})
+        # DuckDB-exact half-away round: a Jaccard of small-int sets can be
+        # a DYADIC rational sitting exactly on a 6-dp half boundary (sf0.1
+        # hit 1/128 = .0078125: np.round half-even .007812, DuckDB .007813)
+        from .common import round_half_away
+
+        return pa.table(
+            {"doc_id": tok["doc_id"], "jaccard_vs_doc0": pa.array(round_half_away(out))}
+        )
 
     return docs.map_batches(fn, batch_format="pyarrow")
 
