@@ -66,6 +66,7 @@ BENCH_QUERIES = (
     "segment_urgent_coverage",
     "group_uniform_sample",
     "approx_distinct_users_by_type",
+    "session_spectral_features",
 )
 
 FIXTURE = os.environ.get("MPDS_BENCH_FIXTURE", "bench")  # bench | hot
