@@ -1888,6 +1888,55 @@ FROM events
 """
 
 
+def rolling_value_median(sf_dir: str):
+    """EXACT ROWS-window rolling MEDIAN (last K rows per user) — the
+    order-statistic sibling of ``rolling_value_mean`` and an operator the
+    Dataset API has no primitive for (windowed aggregates compose from
+    sort + segment kernels here, not from a shuffle per window). Per
+    bucket: build the (n, K) trailing-window matrix with one strided
+    gather, mask pre-segment slots to +inf, ONE row-wise sort, then gather
+    the two middle order statistics per row and average — no per-row or
+    per-user loop. The interpolated median (a+b)/2 is computed the same
+    way DuckDB's windowed ``median`` interpolates, on the same two
+    cents-exact doubles, so the rounded values agree bit-for-bit."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        idx = np.arange(n)
+        seg_starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_of_row = np.repeat(seg_starts, np.diff(np.r_[seg_starts, n]))
+        lo = np.maximum(idx - (ROLLING_K - 1), seg_of_row)
+        # trailing-window matrix: column j holds v[i - (K-1) + j]; slots
+        # before the row's own segment window get +inf so one ascending
+        # sort pushes them past every real value
+        pos = idx[:, None] - (ROLLING_K - 1) + np.arange(ROLLING_K)[None, :]
+        win = np.where(pos >= lo[:, None], v[np.clip(pos, 0, n - 1)], np.inf)
+        win.sort(axis=1)
+        cnt = idx + 1 - lo
+        a = win[idx, (cnt - 1) // 2]
+        b = win[idx, cnt // 2]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "rolling_median_5": np.round((a + b) / 2.0, 6),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["value"], fn)
+
+
+ROLLING_MEDIAN_SQL = f"""
+SELECT event_id, user_id,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {ROLLING_K - 1} PRECEDING AND CURRENT ROW),
+             6) AS rolling_median_5
+FROM events
+"""
+
+
 def event_value_zscore(sf_dir: str):
     """Per-event-type z-score (grouped standardize, M6's grouped sibling):
     TRUE two-pass — pass 1 folds per-type (sum, n) partials on the driver
@@ -2369,6 +2418,7 @@ QUERIES = {
     "user_value_trend": user_value_trend,
     "views_before_purchase": views_before_purchase,
     "rolling_value_mean": rolling_value_mean,
+    "rolling_value_median": rolling_value_median,
     "event_value_zscore": event_value_zscore,
     "session_spectral_features": session_spectral_features,
     "cumulative_user_value": cumulative_user_value,
@@ -2418,6 +2468,7 @@ ORACLE = {
     "user_value_trend": TREND_SQL,
     "views_before_purchase": VIEWS_BEFORE_PURCHASE_SQL,
     "rolling_value_mean": ROLLING_SQL,
+    "rolling_value_median": ROLLING_MEDIAN_SQL,
     "event_value_zscore": ZSCORE_SQL,
     "cumulative_user_value": CUMSUM_SQL,
     "hourly_event_stats": HOURLY_SQL,
