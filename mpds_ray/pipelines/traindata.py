@@ -222,6 +222,75 @@ SELECT doc_id, source FROM (
 ORDER BY source, doc_id
 """
 
+
+def group_weighted_sample(sf_dir: str, k: int = GROUP_SAMPLE_K):
+    """Deterministic WEIGHTED (probability-proportional-to-size) sample of k
+    docs per source — sequential Poisson sampling (Ohlsson 1998): rank by
+    the order variable xi = u / w where u is the doc's uniform hash (the
+    same bijective multiplicative hash as ``group_uniform_sample``) and
+    w = max(n_chars, 1) is the size weight, keep the k smallest xi per
+    source. P(xi < t) = t*w/2^64, so inclusion probability is proportional
+    to document length — the quality/length-weighted corpus sampler a
+    training-data pipeline uses where uniform sampling under-represents
+    long documents. No RNG state: identical selection at any parallelism,
+    each shard emits only its per-source k smallest (mergeable partial
+    top-k). xi is ONE IEEE division of the nearest-rounded uint64 hash by
+    an exact small int on both engine and oracle, so the doubles (and the
+    ranking) agree bit-for-bit; ties broken by doc_id on both sides."""
+    import ray
+
+    from .common import shard_list
+
+    kk = int(k)
+
+    @ray.remote
+    def shard_partial(path: str) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "source", "n_chars"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.maximum(t["n_chars"].to_numpy(zero_copy_only=False), 1)
+        h = ids.astype(np.uint64) * np.uint64(2654435761)
+        df = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "xi": h.astype(np.float64) / w.astype(np.float64),
+            }
+        )
+        return (
+            df.sort_values(["xi", "doc_id"])
+            .groupby("source", sort=False)
+            .head(kk)
+            .reset_index(drop=True)
+        )
+
+    parts = ray.get([shard_partial.remote(p) for p in shard_list(sf_dir, "documents")])
+    merged = pd.concat(parts, ignore_index=True)
+    return (
+        merged.sort_values(["xi", "doc_id"])
+        .groupby("source", sort=False)
+        .head(kk)[["doc_id", "source"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+GROUP_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 18446744073709551616 AS DOUBLE)
+                    / greatest(n_chars, 1),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {GROUP_SAMPLE_K}
+ORDER BY source, doc_id
+"""
+
 # --- quantile-band quality filter -------------------------------------------
 
 
@@ -878,6 +947,7 @@ QUERIES = {
     "decontaminate": decontaminate,
     "stratified_sample": stratified_sample,
     "group_uniform_sample": group_uniform_sample,
+    "group_weighted_sample": group_weighted_sample,
     "mid_quality_docs": mid_quality_docs,
     "pack_sequences": pack_sequences,
     "dup_clusters": dup_clusters,
@@ -890,6 +960,7 @@ ORACLE = {
     "decontaminate": DECONTAMINATE_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "group_uniform_sample": GROUP_SAMPLE_SQL,
+    "group_weighted_sample": GROUP_WEIGHTED_SAMPLE_SQL,
     "mid_quality_docs": MID_QUALITY_SQL,
     "pack_sequences": PACK_SQL,
     "dup_clusters": DUP_CLUSTERS_SQL,

@@ -237,3 +237,44 @@ class TestCurateCorpus:
             assert got.loc[r.source, "n_docs"] == r.n_docs
             assert got.loc[r.source, "n_words_kept"] == r.n_words_kept
         assert int(out.n_docs.sum()) == int(m.sum())
+
+
+class TestGroupWeightedSample:
+    def test_exactly_k_per_source_and_weighting(self, ray_session, sf_dir):
+        import pandas as pd
+
+        from mpds_ray.pipelines.traindata import (
+            GROUP_SAMPLE_K,
+            group_uniform_sample,
+            group_weighted_sample,
+        )
+
+        out = group_weighted_sample(sf_dir)
+        assert (out.groupby("source").size() == GROUP_SAMPLE_K).all()
+        # PPS property (statistical, deterministic for this fixture): the
+        # length-weighted sample's mean n_chars exceeds the uniform sample's
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+        m = docs.set_index("doc_id")["n_chars"]
+        uni = group_uniform_sample(sf_dir)
+        assert m.loc[out["doc_id"]].mean() > m.loc[uni["doc_id"]].mean()
+
+    def test_parallelism_invariant(self, ray_session, tmp_path):
+        """Sharded input selects the same rows as the single-file input."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from mpds_ray.pipelines.traindata import group_weighted_sample
+
+        src = "/root/testdata/sf0.01/documents.parquet"
+        full = group_weighted_sample("/root/testdata/sf0.01")
+        df = pd.read_parquet(src)
+        d = tmp_path / "documents.parquet"
+        d.mkdir()
+        for i in range(4):
+            import pyarrow as pa
+
+            pq.write_table(pa.Table.from_pandas(df.iloc[i::4], preserve_index=False),
+                           str(d / f"part-{i}.parquet"))
+        sharded = group_weighted_sample(str(tmp_path))
+        pd.testing.assert_frame_equal(full, sharded)
