@@ -84,7 +84,7 @@ _R5_GATE_HEAD = (
     "views_before_purchase", "rolling_value_mean", "event_value_zscore",
     # --- new this round ---
     "session_spectral_features", "rolling_value_median",
-    "group_weighted_sample",
+    "group_weighted_sample", "contained_pairs_exact",
     # --- canaries for this round's diff ---
     "user_event_pivot", "similar_pairs_exact", "minhash_dup_candidates",
     "approx_distinct_users_by_type", "flagship_session_summary",
@@ -102,7 +102,6 @@ _R5_GATE_HEAD = (
     "top_users_per_event_type", "sessionize_user_events", "session_funnel",
     "user_value_lag_lead", "user_mode_event_type", "user_value_percent_rank",
     "user_time_weighted_value", "user_value_ewma", "event_type_cooccurrence",
-    "user_retention_cohorts",
 )
 
 

@@ -876,18 +876,19 @@ def _unique_per_segment(
     return v[first], s[first], np.bincount(s[first], minlength=offs.size - 1)
 
 
-def _pairwise_jaccard(
+def _pairwise_inter(
     flat: np.ndarray,
     offs: np.ndarray,
     pos_a: np.ndarray,
     pos_b: np.ndarray,
-) -> np.ndarray:
-    """Exact Jaccard for many (set_a, set_b) pairs at once, fully vectorized:
-    ``flat``/``offs`` hold per-doc SORTED-UNIQUE shingle sets; ``pos_a[i]`` /
-    ``pos_b[i]`` index the two docs of pair i. Each pair's two sets are
-    gathered into one (pair_id, value) stream; after a lexsort, adjacent
-    equal values within a pair are exactly the intersection elements (each
-    side is duplicate-free). No per-pair Python loop."""
+):
+    """Exact |set_a ∩ set_b| (plus both set sizes) for many pairs at once,
+    fully vectorized: ``flat``/``offs`` hold per-doc SORTED-UNIQUE shingle
+    sets; ``pos_a[i]`` / ``pos_b[i]`` index the two docs of pair i. Each
+    pair's two sets are gathered into one (pair_id, value) stream; after a
+    lexsort, adjacent equal values within a pair are exactly the
+    intersection elements (each side is duplicate-free). No per-pair
+    Python loop. Returns (inter, len_a, len_b)."""
     lens = np.diff(offs)
     la, lb = lens[pos_a], lens[pos_b]
     n_pairs = pos_a.size
@@ -906,6 +907,17 @@ def _pairwise_jaccard(
     vals, pids = vals[order], pids[order]
     dup = (pids[1:] == pids[:-1]) & (vals[1:] == vals[:-1])
     inter = np.bincount(pids[1:][dup], minlength=n_pairs)
+    return inter, la, lb
+
+
+def _pairwise_jaccard(
+    flat: np.ndarray,
+    offs: np.ndarray,
+    pos_a: np.ndarray,
+    pos_b: np.ndarray,
+) -> np.ndarray:
+    """Exact Jaccard per pair (see ``_pairwise_inter``)."""
+    inter, la, lb = _pairwise_inter(flat, offs, pos_a, pos_b)
     union = la + lb - inter
     return np.where(inter > 0, inter / np.where(union > 0, union, 1), 0.0)
 
@@ -1022,6 +1034,7 @@ def _verify_pairs_exact(
     pair_refs: list,
     threshold: float,
     n_vb: int | None = None,
+    metric: str = "jaccard",
 ) -> pd.DataFrame:
     """Exchange-routed EXACT shingle-Jaccard verification of candidate doc
     pairs held in plasma (shared tail of the MinHash banding and the
@@ -1029,8 +1042,13 @@ def _verify_pairs_exact(
     by hash(doc_a) to verify buckets, each bucket dedupes ITS pairs and
     emits its (doc_id, vb) need table map-side, shard tasks re-derive the
     needed shingle sets and ship each once per referencing bucket, and the
-    vectorized ``_pairwise_jaccard`` kernel runs per bucket. The driver
-    holds object refs plus one pair-count int per bucket — never pairs."""
+    vectorized ``_pairwise_inter`` kernel runs per bucket. The driver
+    holds object refs plus one pair-count int per bucket — never pairs.
+
+    ``metric``: "jaccard" (symmetric, |A∩B|/|A∪B|) or "containment"
+    (ORDERED, |A∩B|/|A| — doc_a is the contained side); the output score
+    column is named after the metric and rounded half-away (the family's
+    DuckDB-round convention) before the ``>= threshold`` filter."""
     import ray
 
     from ..stages.exchange import auto_num_buckets, exchange_map
@@ -1080,7 +1098,7 @@ def _verify_pairs_exact(
     if sum(ray.get(count_refs)) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+                             metric: pd.Series([], dtype="float64")})
 
     # verify: EXCHANGE-ROUTED exact Jaccard — each candidate doc's shingle
     # set is computed DISTRIBUTED (per documents shard) and emitted once per
@@ -1163,17 +1181,22 @@ def _verify_pairs_exact(
         offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         offs = offs - offs[0]
         pos = pd.Series(np.arange(ids.size), index=ids)
-        jac = _pairwise_jaccard(
+        inter, la, _lb = _pairwise_inter(
             flat, offs,
             pos[pairs["doc_a"].to_numpy()].to_numpy(),
             pos[pairs["doc_b"].to_numpy()].to_numpy(),
         )
-        # half-away like the DuckDB SSJOIN oracle: pair Jaccards are ratios
-        # of small ints and can sit exactly on a 6-dp half boundary
+        if metric == "containment":
+            score = np.where(inter > 0, inter / np.where(la > 0, la, 1), 0.0)
+        else:
+            union = la + _lb - inter
+            score = np.where(inter > 0, inter / np.where(union > 0, union, 1), 0.0)
+        # half-away like the DuckDB oracles: pair scores are ratios of
+        # small ints and can sit exactly on a 6-dp half boundary
         from .common import round_half_away
 
-        out = pairs.assign(jaccard=round_half_away(jac))
-        return out[out["jaccard"] >= threshold]
+        out = pairs.assign(**{metric: round_half_away(score)})
+        return out[out[metric] >= threshold]
 
     out_refs = [
         verify_bucket.remote(vb_pair_refs[b], *[sh_refs[s][b] for s in range(len(shards))])
@@ -1183,7 +1206,7 @@ def _verify_pairs_exact(
     if not frames:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+                             metric: pd.Series([], dtype="float64")})
     return (
         pd.concat(frames, ignore_index=True)
         .sort_values(["doc_a", "doc_b"])
@@ -1371,6 +1394,170 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {SSJOIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- exact containment join (near-subset / superset dedup) ------------------
+
+CONTAIN_THRESHOLD = 0.5
+
+
+def contained_pairs_exact(sf_dir: str, threshold: float = CONTAIN_THRESHOLD):
+    """EXACT all-pairs shingle CONTAINMENT join: ORDERED pairs (a, b) with
+    round(|Sa ∩ Sb| / |Sa|, 6) >= t, a != b — the asymmetric-overlap dedup
+    a pretraining pipeline uses where Jaccard misses near-SUBSETS (a short
+    doc quoted inside a long one has high containment but low Jaccard, so
+    the symmetric join never surfaces it).
+
+    Prefix filtering adapts (Vernica et al. SIGMOD'10, containment form):
+    C(a→b) >= t forces b to contain >= ceil(t·|Sa|) of Sa's elements, so b
+    must share at least one of Sa's FIRST p = |Sa| - ceil(t·|Sa|) + 1
+    elements under any fixed total order — but unlike the Jaccard join the
+    INDEX side has no prefix: every shingle of every doc is indexed, and a
+    candidate forms per (probe-prefix row × posting row). One gram-hash
+    exchange therefore carries one (shingle, doc_id, size, is_probe) row
+    per distinct (doc, shingle) — id-only, the text never moves — and the
+    per-shingle candidate count is bounded by probe_docs x posting_docs.
+    The only lossless size filter is |Sb| >= ceil(t·|Sa|) (applied as an
+    exact integer-rational compare at the prune threshold, covering the
+    rounded contract's slack like the Jaccard join); there is NO upper
+    bound on |Sb| by construction. Scale note: postings of globally common
+    shingles dominate the exchange — the same inverted-index cost
+    ``repeated_ngram_stats`` pays, bounded per reduce task by the
+    bytes-derived bucket count; rarest-first probe prefixes (the shared
+    hashed-df order) keep the probe side of each bucket sparse.
+
+    Verification runs through the shared exchange-routed exact tail with
+    ``metric='containment'``."""
+    import ray
+
+    from ..stages.exchange import auto_num_buckets, exchange_map
+    from ..stages.partition import stable_bucket
+    from .common import shard_list
+
+    shards = shard_list(sf_dir, "documents")
+    n_cb = auto_num_buckets(shards, min_buckets=8)
+    DF_BUCKETS = 1 << 20
+    tq_prune = max(int(threshold * 1_000_000) - 1, 0)
+
+    @ray.remote
+    def shard_df(path: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "text", "source"])
+        tok = tokenize_batch(t)
+        flat, offs = _flat_tokens(tok)
+        sh, sh_offs = _shingles_flat(flat, offs)
+        u, _seg, _n = _unique_per_segment(sh, sh_offs)
+        return np.bincount(
+            (u % np.uint64(DF_BUCKETS)).astype(np.int64), minlength=DF_BUCKETS
+        ).astype(np.uint32)
+
+    df_counts = np.zeros(DF_BUCKETS, dtype=np.uint64)
+    pending = [shard_df.remote(p) for p in shards]
+    while pending:
+        done, pending = ray.wait(pending, num_returns=1)
+        df_counts += ray.get(done[0])
+    df_ref = ray.put(df_counts.astype(np.uint32))
+
+    def posting_map(batch: pa.Table) -> pa.Table:
+        tok = tokenize_batch(batch)
+        flat, offs = _flat_tokens(tok)
+        sh, sh_offs = _shingles_flat(flat, offs)
+        u, seg, n_uniq = _unique_per_segment(sh, sh_offs)
+        doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False)
+        ceil_ts = -(-(tq_prune * n_uniq.astype(np.int64)) // 1_000_000)
+        p = np.minimum(np.maximum(n_uniq - ceil_ts + 1, 1), n_uniq)
+        dfs = ray.get(df_ref)
+        dfv = dfs[(u % np.uint64(DF_BUCKETS)).astype(np.int64)]
+        order = np.lexsort((u, dfv, seg))
+        u_s, seg_s = u[order], seg[order]
+        doffs = np.r_[0, np.cumsum(n_uniq)]
+        rank = np.arange(u.size, dtype=np.int64) - np.repeat(doffs[:-1], n_uniq)
+        return pa.table(
+            {
+                "shingle": pa.array(u_s.view(np.int64)),
+                "doc_id": pa.array(doc_ids[seg_s], type=pa.int64()),
+                "size": pa.array(np.repeat(n_uniq, n_uniq), type=pa.int64()),
+                "is_probe": pa.array(rank < np.repeat(p, n_uniq)),
+            }
+        )
+
+    def cb_bucket_fn(t: pa.Table) -> np.ndarray:
+        return stable_bucket(t["shingle"].to_numpy(zero_copy_only=False), n_cb)
+
+    post_refs = exchange_map(
+        shards, posting_map, cb_bucket_fn, n_cb, columns=["doc_id", "text", "source"],
+    )
+
+    _EMPTY = EMPTY_PAIR_TABLE
+
+    @ray.remote
+    def candidates_bucket(*parts: pa.Table) -> pa.Table:
+        nonempty = [q for q in parts if q.num_rows]
+        if not nonempty:
+            return _EMPTY
+        tbl = pa.concat_tables(nonempty)
+        sh = tbl["shingle"].to_numpy(zero_copy_only=False)
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        sz = tbl["size"].to_numpy(zero_copy_only=False)
+        probe = tbl["is_probe"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sh))
+        sh, did, sz, probe = sh[order], did[order], sz[order], probe[order]
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        counts = np.diff(np.r_[starts, sh.size])
+        # fully vectorized probe x posting expansion — NO per-shingle
+        # Python loop: each probe row pairs with every row of its shingle
+        # group via one segment-arange; singleton groups and self-pairs
+        # vanish in the a != b mask
+        seg_id = np.repeat(np.arange(starts.size), counts)
+        probes = np.flatnonzero(probe)
+        if not probes.size:
+            return _EMPTY
+        g_of_p = seg_id[probes]
+        reps = counts[g_of_p]
+        total = int(reps.sum())
+        ii = np.repeat(probes, reps)
+        out_start = np.r_[0, np.cumsum(reps)[:-1]]
+        jj = np.repeat(starts[g_of_p] - out_start, reps) + np.arange(
+            total, dtype=np.int64
+        )
+        keep = did[ii] != did[jj]
+        # lossless size filter: |Sb| >= t' * |Sa| at the prune rational
+        keep &= sz[jj] * 1_000_000 >= tq_prune * sz[ii]
+        if not keep.any():
+            return _EMPTY
+        out = pd.DataFrame(
+            {"doc_a": did[ii[keep]], "doc_b": did[jj[keep]]}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pair_refs = [
+        candidates_bucket.remote(*[post_refs[s][b] for s in range(len(shards))])
+        for b in range(n_cb)
+    ]
+    return _verify_pairs_exact(shards, pair_refs, threshold, metric="containment")
+
+
+CONTAIN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL_EXPR} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(tokens) < 3
+                THEN list_transform(tokens, t -> CAST(t AS VARCHAR))
+                ELSE list_transform(range(1, len(tokens) - 1),
+                     i -> concat(tokens[i], '_', tokens[i + 1], '_', tokens[i + 2]))
+           END) AS s
+  FROM tok
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS containment
+FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+      >= {CONTAIN_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -1692,6 +1879,7 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "minhash_dup_candidates": minhash_dup_candidates,
     "similar_pairs_exact": similar_pairs_exact,
+    "contained_pairs_exact": contained_pairs_exact,
     "ngram_jaccard_vs_doc0": ngram_jaccard_vs_doc0,
     "doc_fingerprints": doc_fingerprints,
 }
@@ -1714,4 +1902,5 @@ ORACLE = {
     "lang_id": LANG_ID_SQL,
     "ngram_jaccard_vs_doc0": NGRAM_JACCARD_SQL,
     "similar_pairs_exact": SSJOIN_SQL,
+    "contained_pairs_exact": CONTAIN_SQL,
 }

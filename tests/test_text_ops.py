@@ -443,3 +443,54 @@ def test_unigram_logprob_reference(ray_session, tmp_path):
            for i in range(2)]
     assert list(out.mean_logprob) == pytest.approx(exp, abs=1e-9)
     assert out.mean_logprob.iloc[0] > out.mean_logprob.iloc[1]
+
+
+def test_contained_pairs_exact_complete_vs_brute(ray_session, tmp_path):
+    """The containment join must find EVERY ordered pair with
+    round(|Sa∩Sb|/|Sa|, 6) >= t — including near-SUBSET pairs whose
+    Jaccard is far below t (the asymmetric case the symmetric join
+    misses by design)."""
+    from mpds_ray.pipelines.text import _shingles, contained_pairs_exact
+    from mpds_ray.tokenize import tokenize_words_py
+
+    rng = np.random.default_rng(23)
+    vocab = [chr(ord("a") + i) + chr(ord("a") + j) for i in range(26) for j in range(5)]
+    texts = []
+    for i in range(30):
+        words = list(rng.choice(vocab, 40))
+        texts.append(" ".join(words))
+        if i % 5 == 0:
+            # plant a SHORT near-subset: 12 consecutive words of the long
+            # doc -> containment(short -> long) ~ 1.0, Jaccard ~ 0.25
+            texts.append(" ".join(words[3:15]))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts, "source": "s"}
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+
+    sets = []
+    for t in texts:
+        toks = np.array([tokenize_words_py(w) for w in t.split(" ")], dtype=np.int64)
+        sets.append(set(_shingles(toks).tolist()))
+    for thr in (0.5, 0.8):
+        want = set()
+        for i in range(len(sets)):
+            for j in range(len(sets)):
+                if i == j or not sets[i]:
+                    continue
+                c = len(sets[i] & sets[j]) / len(sets[i])
+                if round(c, 6) >= thr:
+                    want.add((i, j))
+        assert want, "fixture must plant qualifying ordered pairs"
+        # the planted subset pairs must be among them at thr=0.8
+        if thr == 0.8:
+            assert any(a > b for (a, b) in want), "subset (short->long) pair missing"
+
+        out = contained_pairs_exact(str(tmp_path), threshold=thr)
+        got = set(zip(out["doc_a"], out["doc_b"]))
+        assert got == want
+        # ordered semantics: containment is NOT symmetric on the planted
+        # subset pairs (short in long, not vice versa)
+        if thr == 0.8:
+            asym = [(a, b) for (a, b) in want if (b, a) not in want]
+            assert asym
