@@ -65,16 +65,18 @@ def entry() -> Any:
 #   1-7   the seven queries that never earned a driver-green row in r1-r4
 #         (X21/X24/X25/X36/X37/X42 were never gated; X88 user_feature_matrix
 #         was red in r4 and is re-gated after the int-cents fix);
-#   8     session_spectral_features — NEW this round, drives the W9/W10/W11
+#   8-12  NEW this round: session_spectral_features (drives the W9/W10/W11
 #         DFA / Lomb-Scargle / Welch-pitch kernel block through a driver-
-#         gated independent golden (VERDICT r4 'Next round' #7);
-#   9-13  canaries: previously-green queries whose code or oracle this
+#         gated independent golden, VERDICT r4 'Next round' #7), plus the
+#         X91-X94 operators (rolling median, PPS sampling, containment
+#         join, rolling distinct count);
+#   13-17 canaries: previously-green queries whose code or oracle this
 #         round's diff touches (user_event_pivot oracle restated in
 #         int-cents; similar_pairs_exact fan-out de-hardcoded and
 #         minhash_dup_candidates shares its verify tail;
 #         approx_distinct_users_by_type / flagship_session_summary got the
 #         ADVICE r4 precondition asserts);
-#   14-50 rounds-1-3 greens — the OLDEST gate evidence on record (every r4
+#   18-50 rounds-1-3 greens — the OLDEST gate evidence on record (every r4
 #         green was just re-proven last round), refreshed here so a silent
 #         regression in the mature surface stays driver-visible.
 _R5_GATE_HEAD = (
@@ -85,6 +87,7 @@ _R5_GATE_HEAD = (
     # --- new this round ---
     "session_spectral_features", "rolling_value_median",
     "group_weighted_sample", "contained_pairs_exact",
+    "rolling_distinct_types",
     # --- canaries for this round's diff ---
     "user_event_pivot", "similar_pairs_exact", "minhash_dup_candidates",
     "approx_distinct_users_by_type", "flagship_session_summary",
@@ -101,7 +104,7 @@ _R5_GATE_HEAD = (
     "kfold_counts", "value_histogram", "approx_distinct_users",
     "top_users_per_event_type", "sessionize_user_events", "session_funnel",
     "user_value_lag_lead", "user_mode_event_type", "user_value_percent_rank",
-    "user_time_weighted_value", "user_value_ewma", "event_type_cooccurrence",
+    "user_time_weighted_value", "user_value_ewma",
 )
 
 

@@ -1937,6 +1937,54 @@ FROM events
 """
 
 
+def rolling_distinct_types(sf_dir: str):
+    """ROWS-window COUNT(DISTINCT event_type) over the last K rows per user
+    — the windowed-distinct sibling of the rolling mean/median (another
+    windowed aggregate with no Dataset primitive; a naive implementation
+    re-shuffles per window, this one is a map-side kernel after the one
+    user-hash exchange). Per bucket: event types map to small codes
+    (the fixed EVENT_TYPES domain), one strided (n, K) trailing-window
+    gather with a -1 sentinel for pre-segment slots, and the distinct
+    count is the number of FIRST OCCURRENCES in each window — K(K-1)/2
+    pairwise equality masks for K = 5, fully vectorized, exact integers
+    (no rounding surface at all)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        codes = np.searchsorted(np.asarray(EVENT_TYPES), et).astype(np.int64)
+        idx = np.arange(n)
+        seg_starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_of_row = np.repeat(seg_starts, np.diff(np.r_[seg_starts, n]))
+        lo = np.maximum(idx - (ROLLING_K - 1), seg_of_row)
+        pos = idx[:, None] - (ROLLING_K - 1) + np.arange(ROLLING_K)[None, :]
+        win = np.where(pos >= lo[:, None], codes[np.clip(pos, 0, n - 1)], -1)
+        # first-occurrence indicator per window slot
+        first = win >= 0
+        for j in range(1, ROLLING_K):
+            for k in range(j):
+                first[:, j] &= win[:, j] != win[:, k]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "n_types_5": first.sum(axis=1).astype(np.int64),
+            }
+        )
+
+    return _per_bucket_events(sf_dir, ["event_type"], fn)
+
+
+ROLLING_DISTINCT_SQL = f"""
+SELECT event_id, user_id,
+       count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN {ROLLING_K - 1} PRECEDING AND CURRENT ROW)
+           AS n_types_5
+FROM events
+"""
+
+
 def event_value_zscore(sf_dir: str):
     """Per-event-type z-score (grouped standardize, M6's grouped sibling):
     TRUE two-pass — pass 1 folds per-type (sum, n) partials on the driver
@@ -2419,6 +2467,7 @@ QUERIES = {
     "views_before_purchase": views_before_purchase,
     "rolling_value_mean": rolling_value_mean,
     "rolling_value_median": rolling_value_median,
+    "rolling_distinct_types": rolling_distinct_types,
     "event_value_zscore": event_value_zscore,
     "session_spectral_features": session_spectral_features,
     "cumulative_user_value": cumulative_user_value,
@@ -2469,6 +2518,7 @@ ORACLE = {
     "views_before_purchase": VIEWS_BEFORE_PURCHASE_SQL,
     "rolling_value_mean": ROLLING_SQL,
     "rolling_value_median": ROLLING_MEDIAN_SQL,
+    "rolling_distinct_types": ROLLING_DISTINCT_SQL,
     "event_value_zscore": ZSCORE_SQL,
     "cumulative_user_value": CUMSUM_SQL,
     "hourly_event_stats": HOURLY_SQL,

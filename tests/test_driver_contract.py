@@ -28,6 +28,7 @@ def test_gate_head_resolves_and_leads():
         "views_before_purchase", "rolling_value_mean", "event_value_zscore",
         "session_spectral_features", "rolling_value_median",
         "group_weighted_sample", "contained_pairs_exact",
+        "rolling_distinct_types",
     }
     assert must_gate <= set(q[:50])
 

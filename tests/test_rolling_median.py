@@ -83,3 +83,33 @@ def test_segment_boundaries_do_not_leak(ray_session, tmp_path):
     got = rolling_value_median(str(tmp_path)).sort_values("event_id")
     # user 2's windows see only its own values: [1] -> 1, [1,3] -> 2
     assert got["rolling_median_5"].tolist() == [100.0, 100.0, 1.0, 2.0]
+
+
+def test_rolling_distinct_types_matches_pandas(ray_session):
+    from mpds_ray.pipelines.eventspipe import ROLLING_K, rolling_distinct_types
+
+    got = (
+        rolling_distinct_types(SF_DIR)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = (
+        pd.read_parquet(f"{SF_DIR}/events.parquet",
+                        columns=["event_id", "user_id", "ts", "event_type"])
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # pandas rolling needs a numeric column: factorize types to codes first
+    ev["code"] = pd.factorize(ev["event_type"])[0].astype(np.float64)
+    want = (
+        ev.assign(
+            n_types_5=ev.groupby("user_id")["code"]
+            .rolling(ROLLING_K, min_periods=1)
+            .apply(lambda w: len(np.unique(w)), raw=True)
+            .reset_index(level=0, drop=True)
+            .astype(np.int64)
+        )[["event_id", "user_id", "n_types_5"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
